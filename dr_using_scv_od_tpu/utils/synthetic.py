@@ -1,0 +1,223 @@
+"""Synthetic labeled LiDAR scene generator.
+
+The reference validates only against SemanticKITTI (not shipped here); this
+module fabricates scan windows with the same statistical shape - a ground
+plane, buildings (large planar walls), trees (tall scattered blobs), parked
+cars and moving cars - each point carrying a SemanticKITTI-style label so
+the PR/RR/F1 harness (eval/metrics.py, after tool/analysis.py) runs
+end-to-end without the dataset.
+
+Labels follow the SemanticKITTI convention used by the reference
+(config/semantickitti.yaml:62, tool/analysis.py:6):
+  40 = road(ground), 50 = building, 70 = vegetation, 10 = car (static),
+  252 = moving-car (dynamic).
+
+Geometry is emitted in the sensor frame per scan, with world poses driving
+both ego motion and the moving cars, mimicking the KITTI setup the
+reference loads via poses.txt (src/ssc.cpp:913-995).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+LABEL_GROUND = 40
+LABEL_BUILDING = 50
+LABEL_TREE = 70
+LABEL_CAR_STATIC = 10
+LABEL_CAR_MOVING = 252
+
+
+@dataclasses.dataclass
+class SceneSpec:
+    n_buildings: int = 6
+    n_trees: int = 10
+    n_parked_cars: int = 6
+    n_moving_cars: int = 3
+    ground_pts: int = 40000
+    building_pts: int = 4000
+    tree_pts: int = 1200
+    car_pts: int = 900
+    extent: float = 28.0
+    sensor_height: float = 1.73
+    ego_speed: float = 1.5          # m per frame along +x
+    moving_speed: float = 2.0       # m per frame for dynamic cars
+    noise: float = 0.02
+    seed: int = 0
+
+
+def _box_points(rng, center, size, n, noise, shell=True):
+    """Points on the surface of an axis-aligned box (walls of buildings /
+    bodies of cars read as planar patches to LiDAR)."""
+    c = np.asarray(center, np.float64)
+    s = np.asarray(size, np.float64)
+    if shell:
+        # sample the 4 side faces + top
+        faces = rng.integers(0, 5, size=n)
+        u = rng.uniform(-0.5, 0.5, size=(n, 2))
+        pts = np.zeros((n, 3))
+        for f in range(5):
+            m = faces == f
+            if f == 0:   # +x face
+                pts[m] = np.stack([np.full(m.sum(), 0.5) * s[0],
+                                   u[m, 0] * s[1], u[m, 1] * s[2]], 1)
+            elif f == 1:
+                pts[m] = np.stack([np.full(m.sum(), -0.5) * s[0],
+                                   u[m, 0] * s[1], u[m, 1] * s[2]], 1)
+            elif f == 2:
+                pts[m] = np.stack([u[m, 0] * s[0],
+                                   np.full(m.sum(), 0.5) * s[1],
+                                   u[m, 1] * s[2]], 1)
+            elif f == 3:
+                pts[m] = np.stack([u[m, 0] * s[0],
+                                   np.full(m.sum(), -0.5) * s[1],
+                                   u[m, 1] * s[2]], 1)
+            else:        # top
+                pts[m] = np.stack([u[m, 0] * s[0], u[m, 1] * s[1],
+                                   np.full(m.sum(), 0.5) * s[2]], 1)
+    else:
+        pts = rng.uniform(-0.5, 0.5, size=(n, 3)) * s
+    return c + pts + rng.normal(scale=noise, size=(n, 3))
+
+
+@dataclasses.dataclass
+class Scene:
+    """World-frame static geometry + moving-object trajectories."""
+    buildings: List[Tuple[np.ndarray, np.ndarray]]
+    trees: List[np.ndarray]
+    parked: List[np.ndarray]
+    moving_start: List[np.ndarray]
+    moving_vel: List[np.ndarray]
+    spec: SceneSpec
+
+
+def make_scene(spec: SceneSpec | None = None) -> Scene:
+    spec = spec or SceneSpec()
+    rng = np.random.default_rng(spec.seed)
+    E = spec.extent
+    buildings = []
+    for i in range(spec.n_buildings):
+        side = 1 if i % 2 == 0 else -1
+        center = np.array([rng.uniform(-E, 2 * E),
+                           side * rng.uniform(10.0, E * 0.8),
+                           4.0 - spec.sensor_height])
+        size = np.array([rng.uniform(8, 16), rng.uniform(4, 8),
+                         rng.uniform(6, 10)])
+        buildings.append((center, size))
+    trees = []
+    for i in range(spec.n_trees):
+        side = 1 if i % 2 == 0 else -1
+        trees.append(np.array([rng.uniform(-E, 2 * E),
+                               side * rng.uniform(6.0, E * 0.7),
+                               2.0 - spec.sensor_height]))
+    parked = []
+    for i in range(spec.n_parked_cars):
+        side = 1 if i % 2 == 0 else -1
+        parked.append(np.array([rng.uniform(-E * 0.5, 1.5 * E),
+                                side * rng.uniform(4.0, 7.0),
+                                0.75 - spec.sensor_height]))
+    moving_start, moving_vel = [], []
+    for i in range(spec.n_moving_cars):
+        lane = 2.0 if i % 2 == 0 else -2.0
+        moving_start.append(np.array([rng.uniform(5.0, 15.0), lane,
+                                      0.75 - spec.sensor_height]))
+        moving_vel.append(np.array(
+            [spec.moving_speed * (1.0 if i % 2 == 0 else -1.0), 0.0, 0.0]))
+    return Scene(buildings, trees, parked, moving_start, moving_vel, spec)
+
+
+def render_frame(scene: Scene, frame: int):
+    """Render one scan in the sensor frame.
+
+    Returns (xyz [N,3] f32, intensity [N] f32, label [N] int32,
+             pose [4,4] f32 world_T_sensor).
+    """
+    spec = scene.spec
+    rng = np.random.default_rng(spec.seed * 7919 + frame)
+    ego = np.array([spec.ego_speed * frame, 0.0, 0.0])
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = ego
+
+    pts, labels, intens = [], [], []
+
+    # ground: disc around the ego with mild intensity texture
+    r = np.sqrt(rng.uniform(np.square(2.0), np.square(spec.extent),
+                            size=spec.ground_pts))
+    th = rng.uniform(0, 2 * np.pi, size=spec.ground_pts)
+    gx = r * np.cos(th)
+    gy = r * np.sin(th)
+    gz = -spec.sensor_height + rng.normal(scale=spec.noise,
+                                          size=spec.ground_pts)
+    pts.append(np.stack([gx, gy, gz], 1))
+    labels.append(np.full(spec.ground_pts, LABEL_GROUND))
+    intens.append(rng.uniform(10, 30, size=spec.ground_pts))
+
+    def world_to_sensor(p):
+        return p - ego
+
+    for center, size in scene.buildings:
+        p = _box_points(rng, center, size, spec.building_pts, spec.noise)
+        pts.append(world_to_sensor(p))
+        labels.append(np.full(len(p), LABEL_BUILDING))
+        intens.append(rng.uniform(80, 90, size=len(p)))  # homogeneous walls
+
+    for tc in scene.trees:
+        # trunk + scattered canopy: high intensity variance
+        canopy = tc + rng.normal(scale=[1.2, 1.2, 1.6],
+                                 size=(spec.tree_pts, 3))
+        pts.append(world_to_sensor(canopy))
+        labels.append(np.full(spec.tree_pts, LABEL_TREE))
+        intens.append(rng.uniform(0, 255, size=spec.tree_pts))
+
+    car_size = np.array([4.2, 1.8, 1.5])
+    for pc in scene.parked:
+        p = _box_points(rng, pc, car_size, spec.car_pts, spec.noise)
+        pts.append(world_to_sensor(p))
+        labels.append(np.full(len(p), LABEL_CAR_STATIC))
+        intens.append(rng.uniform(120, 140, size=len(p)))
+
+    for start, vel in zip(scene.moving_start, scene.moving_vel):
+        c = start + vel * frame
+        p = _box_points(rng, c, car_size, spec.car_pts, spec.noise)
+        pts.append(world_to_sensor(p))
+        labels.append(np.full(len(p), LABEL_CAR_MOVING))
+        intens.append(rng.uniform(120, 140, size=len(p)))
+
+    xyz = np.concatenate(pts).astype(np.float32)
+    label = np.concatenate(labels).astype(np.int32)
+    inten = np.concatenate(intens).astype(np.float32)
+
+    # cull to a KITTI-like FOV shell (keeps scan sizes realistic)
+    rr = np.hypot(xyz[:, 0], xyz[:, 1])
+    keep = (rr > 1.0) & (rr < spec.extent + 12.0)
+    return xyz[keep], inten[keep], label[keep], pose
+
+
+def render_window(scene: Scene, n_frames: int, max_points: int):
+    """Render a padded window of frames.
+
+    Returns dict of stacked arrays:
+      xyz [F, N, 3], intensity [F, N], label [F, N], valid [F, N],
+      poses [F, 4, 4].
+    """
+    xs, ins, ls, vs, ps = [], [], [], [], []
+    for f in range(n_frames):
+        xyz, inten, label, pose = render_frame(scene, f)
+        n = min(len(xyz), max_points)
+        X = np.zeros((max_points, 3), np.float32)
+        I = np.zeros((max_points,), np.float32)
+        L = np.zeros((max_points,), np.int32)
+        V = np.zeros((max_points,), bool)
+        X[:n] = xyz[:n]
+        I[:n] = inten[:n]
+        L[:n] = label[:n]
+        V[:n] = True
+        xs.append(X); ins.append(I); ls.append(L); vs.append(V); ps.append(pose)
+    return {
+        "xyz": np.stack(xs), "intensity": np.stack(ins),
+        "label": np.stack(ls), "valid": np.stack(vs),
+        "poses": np.stack(ps),
+    }
