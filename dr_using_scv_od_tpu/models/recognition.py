@@ -1,0 +1,104 @@
+"""Rule-based object recognition: building / tree / car.
+
+Re-design of `SSC::recognize` (src/ssc.cpp:834-895) + the feature builder
+(src/ssc.cpp:658-758). The reference's live features are bbox-derived
+([6]=max z, [7]=footprint area dx*dy, [8]=polar-angle spread, [9]=min z;
+the six "eigen" slots are hard-coded 1.0); the decision tree is:
+
+    area > car_square          -> regionGrowing ? building : tree
+    else if min_z < cfg.min_z
+         and area < car_square
+         and max_z < cfg.max_z -> car
+    else                       -> tree
+
+The PCL region-growing plane check ("RPC", src/ssc.cpp:797-832) is replaced
+by a per-voxel planarity test (batched 3x3 eigendecomp of per-voxel point
+covariances): a cluster is 'planar enough' when >= plane_ratio of its points
+lie in voxels whose smallest-eigenvalue fraction is below
+plane_flatness_thr - the reference's criterion was >= 20% of points in
+planar region-growing segments (src/ssc.cpp:825-831).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..types import TYPE_BUILDING, TYPE_CAR, TYPE_TREE, ClusterTable
+from ..ops import geometry, plane as plane_ops, segment_ops
+
+
+class Features(NamedTuple):
+    """The live slots of the reference's 11-dim feature matrix
+    (src/ssc.cpp:723-751)."""
+    max_z: jnp.ndarray       # [C]  slot 6
+    area: jnp.ndarray        # [C]  slot 7 (dx * dy)
+    angle_spread: jnp.ndarray  # [C]  slot 8 (polar spread of bbox corners)
+    min_z: jnp.ndarray       # [C]  slot 9
+    planar_ratio: jnp.ndarray  # [C]  RPC replacement
+
+
+def voxel_planarity(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
+                    in_fov: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+    """[G] bool: voxels whose points form a locally planar patch."""
+    g = cfg.grid.bin_num
+    seg = jnp.where(in_fov, point_voxel, g)
+    ones = in_fov.astype(jnp.float32)
+    n = jax.ops.segment_sum(ones, seg, num_segments=g + 1)[:g]
+    s = jax.ops.segment_sum(jnp.where(in_fov[:, None], xyz, 0.0), seg,
+                            num_segments=g + 1)[:g]
+    xx = jnp.einsum('ni,nj->nij', xyz, xyz)
+    s2 = jax.ops.segment_sum(
+        jnp.where(in_fov[:, None, None], xx, 0.0), seg,
+        num_segments=g + 1)[:g]
+    safe_n = jnp.maximum(n, 1.0)
+    mean = s / safe_n[:, None]
+    cov = s2 / safe_n[:, None, None] - jnp.einsum('ni,nj->nij', mean, mean)
+    evals, _ = plane_ops.eigh3x3(cov)
+    tr = jnp.maximum(evals.sum(-1), 1e-12)
+    surface_var = jnp.maximum(evals[:, 0], 0.0) / tr
+    return ((n >= cfg.recog.plane_min_pts)
+            & (surface_var <= cfg.recog.plane_flatness_thr))
+
+
+def recognize(table: ClusterTable, xyz: jnp.ndarray,
+              point_cluster: jnp.ndarray, point_voxel: jnp.ndarray,
+              cfg: PipelineConfig) -> tuple[ClusterTable, Features]:
+    """Classify every live cluster; returns updated table + features."""
+    C = table.c
+    valid_pt = point_cluster >= 0
+
+    planar_vox = voxel_planarity(xyz, point_voxel, valid_pt, cfg)
+    pv_safe = jnp.clip(point_voxel, 0, cfg.grid.bin_num - 1)
+    pt_planar = valid_pt & planar_vox[pv_safe]
+    n_planar = segment_ops.segment_count(point_cluster, pt_planar, C)
+    n_pts = jnp.maximum(table.n_points, 1)
+    planar_ratio = n_planar.astype(jnp.float32) / n_pts.astype(jnp.float32)
+
+    dx = table.bbox_max[:, 0] - table.bbox_min[:, 0]
+    dy = table.bbox_max[:, 1] - table.bbox_min[:, 1]
+    area = dx * dy
+    max_z = table.bbox_max[:, 2]
+    min_z = table.bbox_min[:, 2]
+    angle_spread = jnp.abs(geometry.polar_angle_deg(table.bbox_max)
+                           - geometry.polar_angle_deg(table.bbox_min))
+
+    is_big = area > cfg.recog.car_square
+    is_planar = planar_ratio >= cfg.recog.plane_ratio
+    is_car = ((min_z < cfg.recog.min_z)
+              & (area < cfg.recog.car_square)
+              & (max_z < cfg.recog.max_z))
+
+    typ = jnp.where(
+        is_big,
+        jnp.where(is_planar, TYPE_BUILDING, TYPE_TREE),
+        jnp.where(is_car, TYPE_CAR, TYPE_TREE),
+    ).astype(jnp.int32)
+    typ = jnp.where(table.valid, typ, -1)
+
+    feats = Features(max_z=max_z, area=area, angle_spread=angle_spread,
+                     min_z=min_z, planar_ratio=planar_ratio)
+    return table.replace(type=typ), feats

@@ -101,23 +101,24 @@ def make_scene(spec: SceneSpec | None = None) -> Scene:
     buildings = []
     for i in range(spec.n_buildings):
         side = 1 if i % 2 == 0 else -1
-        center = np.array([rng.uniform(-E, 2 * E),
-                           side * rng.uniform(10.0, E * 0.8),
-                           4.0 - spec.sensor_height])
         size = np.array([rng.uniform(8, 16), rng.uniform(4, 8),
                          rng.uniform(6, 10)])
+        # buildings sit ON the ground plane (z = -sensor_height)
+        center = np.array([rng.uniform(-E, 2 * E),
+                           side * rng.uniform(16.0, E * 0.85),
+                           -spec.sensor_height + size[2] / 2])
         buildings.append((center, size))
     trees = []
     for i in range(spec.n_trees):
         side = 1 if i % 2 == 0 else -1
         trees.append(np.array([rng.uniform(-E, 2 * E),
-                               side * rng.uniform(6.0, E * 0.7),
+                               side * rng.uniform(11.0, 14.0),
                                2.0 - spec.sensor_height]))
     parked = []
     for i in range(spec.n_parked_cars):
         side = 1 if i % 2 == 0 else -1
-        parked.append(np.array([rng.uniform(-E * 0.5, 1.5 * E),
-                                side * rng.uniform(4.0, 7.0),
+        parked.append(np.array([rng.uniform(-E * 0.5, 1.5 * E) + 4.0 * i,
+                                side * rng.uniform(5.5, 6.5),
                                 0.75 - spec.sensor_height]))
     moving_start, moving_vel = [], []
     for i in range(spec.n_moving_cars):
@@ -143,20 +144,33 @@ def render_frame(scene: Scene, frame: int):
 
     pts, labels, intens = [], [], []
 
-    # ground: disc around the ego with mild intensity texture
+    def world_to_sensor(p):
+        return p - ego
+
+    # ground: disc around the ego; points under objects are occluded
     r = np.sqrt(rng.uniform(np.square(2.0), np.square(spec.extent),
                             size=spec.ground_pts))
     th = rng.uniform(0, 2 * np.pi, size=spec.ground_pts)
-    gx = r * np.cos(th)
+    gx = r * np.cos(th) + ego[0]
     gy = r * np.sin(th)
     gz = -spec.sensor_height + rng.normal(scale=spec.noise,
                                           size=spec.ground_pts)
-    pts.append(np.stack([gx, gy, gz], 1))
-    labels.append(np.full(spec.ground_pts, LABEL_GROUND))
-    intens.append(rng.uniform(10, 30, size=spec.ground_pts))
-
-    def world_to_sensor(p):
-        return p - ego
+    gpts = np.stack([gx, gy, gz], 1)
+    occluded = np.zeros(spec.ground_pts, bool)
+    footprints = [(c, s) for c, s in scene.buildings]
+    car_size_fp = np.array([4.2, 1.8, 1.5])
+    for pc in scene.parked:
+        footprints.append((pc, car_size_fp))
+    for start, vel in zip(scene.moving_start, scene.moving_vel):
+        footprints.append((start + vel * frame, car_size_fp))
+    for c, s in footprints:
+        inside = (np.abs(gpts[:, 0] - c[0]) < s[0] / 2 + 0.15) \
+            & (np.abs(gpts[:, 1] - c[1]) < s[1] / 2 + 0.15)
+        occluded |= inside
+    gpts = gpts[~occluded]
+    pts.append(world_to_sensor(gpts))
+    labels.append(np.full(len(gpts), LABEL_GROUND))
+    intens.append(rng.uniform(10, 30, size=len(gpts)))
 
     for center, size in scene.buildings:
         p = _box_points(rng, center, size, spec.building_pts, spec.noise)
@@ -165,9 +179,11 @@ def render_frame(scene: Scene, frame: int):
         intens.append(rng.uniform(80, 90, size=len(p)))  # homogeneous walls
 
     for tc in scene.trees:
-        # trunk + scattered canopy: high intensity variance
-        canopy = tc + rng.normal(scale=[1.2, 1.2, 1.6],
-                                 size=(spec.tree_pts, 3))
+        # trunk + scattered canopy: high intensity variance; no returns
+        # below the ground plane (LiDAR never sees underground)
+        canopy = tc + np.clip(rng.normal(size=(spec.tree_pts, 3)),
+                              -2.0, 2.0) * [1.2, 1.2, 1.6]
+        canopy[:, 2] = np.maximum(canopy[:, 2], -spec.sensor_height + 0.25)
         pts.append(world_to_sensor(canopy))
         labels.append(np.full(spec.tree_pts, LABEL_TREE))
         intens.append(rng.uniform(0, 255, size=spec.tree_pts))
