@@ -70,3 +70,52 @@ def process_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
     sharded variant in parallel/sharded_pipeline.py)."""
     fn = functools.partial(process_frame, cfg=cfg)
     return jax.vmap(fn)(xyz, intensity, valid, poses)
+
+
+class WindowResult(NamedTuple):
+    frames: FrameOutput            # stacked per-frame outputs (pre-tracking)
+    tables: jnp.ndarray            # finalized ClusterTable [F, C]
+    label_grids: jnp.ndarray       # mutated label grids [F, G]
+    point_cluster: jnp.ndarray     # [F, N] final cluster per point
+    removed: jnp.ndarray           # [F, N] bool - judged dynamic, removed
+    n_dynamic: jnp.ndarray         # [F] per-pair dynamic verdicts
+    new_row_overflow: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bbox_dropped_dynamic"))
+def run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
+               valid: jnp.ndarray, poses: jnp.ndarray,
+               cfg: PipelineConfig,
+               bbox_dropped_dynamic: bool = False) -> WindowResult:
+    """The whole batch pipeline over one window: per-frame segmentation
+    (data-parallel) + pairwise tracking (sequential scan) + final per-point
+    dynamic verdicts. Analog of segDF (src/ssc.cpp:1428-1452) + the
+    map-assembly step (saveSegCloud mode 3, src/ssc.cpp:531-567)."""
+    from . import tracking
+    from .segmentation import ROUTE_BBOX_DYNAMIC
+
+    frames = process_window(xyz, intensity, valid, poses, cfg)
+
+    in_grid = frames.state.point_voxel >= 0
+    tr = tracking.track_window(
+        xyz, frames.state.point_voxel, in_grid & valid,
+        frames.state.label_grid, frames.state.clusters, poses, cfg)
+
+    # final per-point cluster from the mutated grids
+    G = cfg.grid.bin_num
+    C = cfg.shapes.max_clusters
+    pv_safe = jnp.clip(frames.state.point_voxel, 0, G - 1)
+    pc = jnp.take_along_axis(tr.label_grids, pv_safe, axis=1)
+    pc = jnp.where(in_grid & valid, pc, -1)
+
+    pc_safe = jnp.clip(pc, 0, C - 1)
+    state = jnp.take_along_axis(tr.tables.state, pc_safe, axis=1)
+    removed = (pc >= 0) & (state == 1)
+    if bbox_dropped_dynamic:
+        removed = removed | (frames.state.point_route == ROUTE_BBOX_DYNAMIC)
+    removed = removed & valid
+
+    return WindowResult(frames=frames, tables=tr.tables,
+                        label_grids=tr.label_grids, point_cluster=pc,
+                        removed=removed, n_dynamic=tr.n_dynamic,
+                        new_row_overflow=tr.new_row_overflow)

@@ -43,8 +43,12 @@ class SceneSpec:
     car_pts: int = 900
     extent: float = 28.0
     sensor_height: float = 1.73
+    # Per-frame displacements model already-skipped windows (the reference
+    # processes every `skip`=5th scan, src/ssc.cpp:944): relative
+    # car-vs-ego motion must clearly exceed a car length for a dynamic
+    # verdict, just as in the real data.
     ego_speed: float = 1.5          # m per frame along +x
-    moving_speed: float = 2.0       # m per frame for dynamic cars
+    moving_speed: float = 6.5       # m per frame for dynamic cars
     noise: float = 0.02
     seed: int = 0
 

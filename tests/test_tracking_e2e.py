@@ -1,0 +1,72 @@
+"""End-to-end window test: segmentation + SCV-OD tracking + PR/RR metrics
+on a synthetic scene with known dynamic cars (reference behaviour:
+src/ssc.cpp:1250-1426 + tool/analysis.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dr_using_scv_od_tpu import config
+from dr_using_scv_od_tpu.eval import metrics
+from dr_using_scv_od_tpu.models import pipeline
+from dr_using_scv_od_tpu.utils import synthetic
+
+
+@pytest.fixture(scope="module")
+def window_result():
+    cfg = config.semantickitti()
+    scene = synthetic.make_scene()
+    F = 5
+    win = synthetic.render_window(scene, F, cfg.shapes.max_points)
+    res = pipeline.run_window(
+        jnp.asarray(win["xyz"]), jnp.asarray(win["intensity"]),
+        jnp.asarray(win["valid"]), jnp.asarray(win["poses"]), cfg)
+    return cfg, win, res
+
+
+def test_no_overflow(window_result):
+    _, _, res = window_result
+    assert int(res.new_row_overflow) == 0
+
+
+def test_dynamic_cars_detected(window_result):
+    """Moving cars must be rejected; static must be preserved."""
+    _, win, res = window_result
+    F = win["xyz"].shape[0]
+    # judged frames only (the last frame never becomes a tracking 'prev',
+    # exactly like the reference)
+    m = metrics.removal_metrics(
+        jnp.asarray(win["label"][:F - 1]).reshape(-1),
+        res.removed[:F - 1].reshape(-1),
+        jnp.asarray(win["valid"][:F - 1]).reshape(-1))
+    assert m.pr > 99.0, f"static points wrongly removed: PR={m.pr}"
+    assert m.rr > 75.0, f"dynamic rejection too low: RR={m.rr}"
+    assert m.f1 > 0.85
+
+
+def test_parked_cars_not_removed(window_result):
+    """Label 10 (parked cars) is static - none of it may be removed."""
+    _, win, res = window_result
+    L = win["label"]
+    removed = np.asarray(res.removed)
+    parked_removed = ((L == synthetic.LABEL_CAR_STATIC) & removed).sum()
+    parked_total = (L == synthetic.LABEL_CAR_STATIC).sum()
+    assert parked_removed / max(parked_total, 1) < 0.02
+
+
+def test_verdicts_only_on_pairs(window_result):
+    _, win, res = window_result
+    n_dyn = np.asarray(res.n_dynamic)
+    assert n_dyn[-1] == 0           # last frame has no pair
+    assert n_dyn[:-1].sum() > 0     # some dynamic verdicts happened
+
+
+def test_track_ids_assigned(window_result):
+    """Car clusters in judged frames carry track ids."""
+    _, _, res = window_result
+    tables = res.tables
+    valid = np.asarray(tables.valid)
+    types = np.asarray(tables.type)
+    tids = np.asarray(tables.track_id)
+    car = valid[:-1] & (types[:-1] == 2)
+    assert np.all(tids[:-1][car] >= 0)
