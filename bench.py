@@ -1,0 +1,61 @@
+"""Benchmark: full dynamic-removal pipeline throughput, ms per frame.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference C++ pipeline logs 213.67 ms/frame on SemanticKITTI
+seq 00 (doc/note.txt:2, 8-core desktop CPU; BASELINE.md). The dataset is
+not available in this environment, so the bench runs synthetic scans of
+comparable size (~75k raw points -> ~130k cap) through the identical
+pipeline stages (ground seg + curved-voxel build + clustering + RI3 +
+recognition + tracking pair). vs_baseline = reference_ms / our_ms
+(higher is better).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dr_using_scv_od_tpu import config
+    from dr_using_scv_od_tpu.models import pipeline
+    from dr_using_scv_od_tpu.utils import synthetic
+
+    cfg = config.semantickitti()
+    scene = synthetic.make_scene()
+    F = 6
+    win = synthetic.render_window(scene, F, cfg.shapes.max_points)
+    xyz = jnp.asarray(win["xyz"])
+    inten = jnp.asarray(win["intensity"])
+    valid = jnp.asarray(win["valid"])
+    poses = jnp.asarray(win["poses"])
+
+    # warm-up / compile. NB: on the axon tunnel platform block_until_ready
+    # does not actually synchronize - a host fetch does, so time with
+    # np.asarray on a small output.
+    res = pipeline.run_window(xyz, inten, valid, poses, cfg)
+    np.asarray(res.n_dynamic)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = pipeline.run_window(xyz, inten, valid, poses, cfg)
+        np.asarray(res.n_dynamic)
+    dt = (time.perf_counter() - t0) / reps
+    ms_per_frame = dt / F * 1000.0
+
+    baseline_ms = 213.67  # doc/note.txt:2 (seq 00, full method)
+    print(json.dumps({
+        "metric": "dynamic_removal_ms_per_frame",
+        "value": round(ms_per_frame, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(baseline_ms / ms_per_frame, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

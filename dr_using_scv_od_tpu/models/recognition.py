@@ -46,17 +46,31 @@ def voxel_planarity(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
     """[G] bool: voxels whose points form a locally planar patch."""
     g = cfg.grid.bin_num
     seg = jnp.where(in_fov, point_voxel, g)
-    ones = in_fov.astype(jnp.float32)
-    n = jax.ops.segment_sum(ones, seg, num_segments=g + 1)[:g]
-    s = jax.ops.segment_sum(jnp.where(in_fov[:, None], xyz, 0.0), seg,
-                            num_segments=g + 1)[:g]
-    xx = jnp.einsum('ni,nj->nij', xyz, xyz)
-    s2 = jax.ops.segment_sum(
-        jnp.where(in_fov[:, None, None], xx, 0.0), seg,
-        num_segments=g + 1)[:g]
+
+    def ssum(x):
+        return jax.ops.segment_sum(jnp.where(in_fov, x, 0.0), seg,
+                                   num_segments=g + 1)[:g]
+
+    # scalar segment-sums only: a single [N,3,3] scatter blows TPU temp
+    # memory up by ~8 GB (XLA materializes huge scatter intermediates)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    n = ssum(jnp.ones_like(x))
+    sx, sy, sz = ssum(x), ssum(y), ssum(z)
+    sxx, syy, szz = ssum(x * x), ssum(y * y), ssum(z * z)
+    sxy, sxz, syz = ssum(x * y), ssum(x * z), ssum(y * z)
     safe_n = jnp.maximum(n, 1.0)
-    mean = s / safe_n[:, None]
-    cov = s2 / safe_n[:, None, None] - jnp.einsum('ni,nj->nij', mean, mean)
+    mx, my, mz = sx / safe_n, sy / safe_n, sz / safe_n
+    cxx = sxx / safe_n - mx * mx
+    cyy = syy / safe_n - my * my
+    czz = szz / safe_n - mz * mz
+    cxy = sxy / safe_n - mx * my
+    cxz = sxz / safe_n - mx * mz
+    cyz = syz / safe_n - my * mz
+    cov = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1),
+    ], axis=-2)
     evals, _ = plane_ops.eigh3x3(cov)
     tr = jnp.maximum(evals.sum(-1), 1e-12)
     surface_var = jnp.maximum(evals[:, 0], 0.0) / tr

@@ -109,20 +109,20 @@ def make_scene(spec: SceneSpec | None = None) -> Scene:
                          rng.uniform(6, 10)])
         # buildings sit ON the ground plane (z = -sensor_height)
         center = np.array([rng.uniform(-E, 2 * E),
-                           side * rng.uniform(16.0, E * 0.85),
+                           side * rng.uniform(E * 0.57, E * 0.85),
                            -spec.sensor_height + size[2] / 2])
         buildings.append((center, size))
     trees = []
     for i in range(spec.n_trees):
         side = 1 if i % 2 == 0 else -1
         trees.append(np.array([rng.uniform(-E, 2 * E),
-                               side * rng.uniform(11.0, 14.0),
+                               side * rng.uniform(E * 0.39, E * 0.5),
                                2.0 - spec.sensor_height]))
     parked = []
     for i in range(spec.n_parked_cars):
         side = 1 if i % 2 == 0 else -1
         parked.append(np.array([rng.uniform(-E * 0.5, 1.5 * E) + 4.0 * i,
-                                side * rng.uniform(5.5, 6.5),
+                                side * rng.uniform(E * 0.196, E * 0.232),
                                 0.75 - spec.sensor_height]))
     moving_start, moving_vel = [], []
     for i in range(spec.n_moving_cars):
