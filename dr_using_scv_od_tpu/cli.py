@@ -1,0 +1,176 @@
+"""Command-line driver.
+
+Replaces the reference's executable fleet (CMakeLists.txt:82-173):
+  segdf     - the whole batch pipeline (ufo_ufo: main.cpp + SSC::segDF)
+  evaluate  - PR/RR/F1 + per-class tables (tool/analysis.py + ufo_evaluate)
+  odometry  - GICP pose estimation + ATE (new capability)
+  colorize  - KITTI .bin -> PCD (ufo_color, src/colorBin.cpp)
+
+Run `python -m dr_using_scv_od_tpu.cli <cmd> --help`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_window(args, cfg):
+    import jax.numpy as jnp
+    if args.data == "synthetic":
+        from .utils import synthetic
+        scene = synthetic.make_scene(synthetic.SceneSpec(seed=args.seed))
+        win = synthetic.render_window(scene, args.frames,
+                                      cfg.shapes.max_points)
+    else:
+        from .utils import io_kitti
+        tr = np.asarray(json.loads(args.tr)) if args.tr else np.eye(4)
+        win = io_kitti.load_window(
+            args.data, args.labels, args.poses, tr, args.start, args.end,
+            cfg.skip, cfg.shapes.max_points,
+            max_intensity=cfg.max_intensity)
+    return {k: jnp.asarray(v) for k, v in win.items()}, win
+
+
+def cmd_segdf(args):
+    import jax.numpy as jnp
+    from . import config
+    from .eval import metrics
+    from .models import odometry, pipeline
+    from .utils import io_kitti, timing
+
+    cfg = getattr(config, args.profile)()
+    win_j, win = _load_window(args, cfg)
+    timer = timing.StageTimer(Path(args.out) / "time.txt"
+                              if args.out else None)
+
+    poses = win_j["poses"]
+    if args.estimate_poses:
+        with timer.stage("odometry"):
+            od = odometry.estimate_window_poses(win_j["xyz"],
+                                                win_j["valid"], cfg)
+            poses = od.poses
+
+    with timer.stage("pipeline"):
+        res = pipeline.run_window(win_j["xyz"], win_j["intensity"],
+                                  win_j["valid"], poses, cfg)
+        removed = np.asarray(res.removed)
+    timer.end_frame()
+
+    F = win["xyz"].shape[0]
+    m = metrics.removal_metrics(win_j["label"].reshape(-1),
+                                res.removed.reshape(-1),
+                                win_j["valid"].reshape(-1))
+    mj = metrics.removal_metrics(
+        win_j["label"][:F - 1].reshape(-1),
+        res.removed[:F - 1].reshape(-1),
+        win_j["valid"][:F - 1].reshape(-1))
+    print(f"frames={F}  PR={m.pr:.2f}  RR={m.rr:.2f}  F1={m.f1:.4f}  "
+          f"(judged frames: PR={mj.pr:.2f} RR={mj.rr:.2f} F1={mj.f1:.4f})")
+    per_cls = metrics.per_class_rejection(
+        np.asarray(win["label"]).reshape(-1), removed.reshape(-1),
+        np.asarray(win["valid"]).reshape(-1))
+    for c, (rr, remain, total) in sorted(per_cls.items()):
+        print(f"  class {c}: RR={rr:.2f}%  remain={remain}/{total}")
+
+    if args.out:
+        out = Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        for f in range(F):
+            keep = np.asarray(win["valid"][f]) & ~removed[f]
+            xyzi = np.concatenate(
+                [np.asarray(win["xyz"][f])[keep],
+                 np.asarray(win["intensity"][f])[keep, None]], axis=1)
+            io_kitti.write_pcd_xyzi(out / f"{f:06d}_static.pcd", xyzi)
+            dyn = np.asarray(win["valid"][f]) & removed[f]
+            xyzi_d = np.concatenate(
+                [np.asarray(win["xyz"][f])[dyn],
+                 np.asarray(win["intensity"][f])[dyn, None]], axis=1)
+            io_kitti.write_pcd_xyzi(out / f"{f:06d}_dynamic.pcd", xyzi_d)
+        print(f"artifacts -> {out}")
+    return 0
+
+
+def cmd_odometry(args):
+    from . import config
+    from .models import odometry
+
+    cfg = getattr(config, args.profile)()
+    win_j, win = _load_window(args, cfg)
+    od = odometry.estimate_window_poses(win_j["xyz"], win_j["valid"], cfg)
+    ate = float(odometry.ate_rmse(od.poses, win_j["poses"]))
+    print(f"frames={win['xyz'].shape[0]}  ATE_rmse={ate:.4f} m")
+    for f, (nc, err) in enumerate(zip(np.asarray(od.n_corr),
+                                      np.asarray(od.final_error))):
+        print(f"  pair {f}->{f+1}: corr={int(nc)} err={float(err):.5f}")
+    if args.out:
+        np.savetxt(args.out,
+                   np.asarray(od.poses)[:, :3, :].reshape(-1, 12))
+        print(f"poses -> {args.out}")
+    return 0
+
+
+def cmd_evaluate(args):
+    """PR/RR from saved static/dynamic artifact PCDs vs a labeled window
+    (artifact-level twin of tool/analysis.py)."""
+    from .eval import artifact as artifact_eval
+    return artifact_eval.evaluate_cli(args)
+
+
+def cmd_colorize(args):
+    from .utils import io_kitti
+    pts = io_kitti.read_bin(args.bin)
+    io_kitti.write_pcd_xyzi(args.out, pts)
+    print(f"{len(pts)} pts -> {args.out}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="dr_using_scv_od_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--profile", default="semantickitti",
+                        choices=["semantickitti", "parkinglot", "tiny_test"])
+        sp.add_argument("--data", default="synthetic",
+                        help="'synthetic' or a KITTI velodyne dir")
+        sp.add_argument("--labels", default=None)
+        sp.add_argument("--poses", default=None)
+        sp.add_argument("--tr", default=None, help="json 4x4 calibration")
+        sp.add_argument("--start", type=int, default=0)
+        sp.add_argument("--end", type=int, default=50)
+        sp.add_argument("--frames", type=int, default=6,
+                        help="synthetic window length")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("segdf", help="full dynamic-removal pipeline")
+    common(sp)
+    sp.add_argument("--estimate-poses", action="store_true")
+    sp.set_defaults(fn=cmd_segdf)
+
+    sp = sub.add_parser("odometry", help="GICP window odometry + ATE")
+    common(sp)
+    sp.set_defaults(fn=cmd_odometry)
+
+    sp = sub.add_parser("evaluate", help="metrics from artifact PCDs")
+    sp.add_argument("--gt", required=True, help="labeled gt pcd")
+    sp.add_argument("--est", required=True, help="estimated static pcd")
+    sp.add_argument("--voxel", type=float, default=0.2)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("colorize", help="KITTI .bin -> PCD")
+    sp.add_argument("--bin", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_colorize)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,21 +66,27 @@ def connected_components(occupied: jnp.ndarray, max_iters: int = 64
     own = jnp.arange(g, dtype=jnp.int32)
     lab = own
 
+    # Gathers (pointer jumping) are expensive on TPU relative to the
+    # shift-based neighbour min, but they collapse long label chains;
+    # jump only every JUMP_EVERY iterations.
+    JUMP_EVERY = 4
+
     def body(state):
-        lab, _ = state
+        lab, _, it = state
         m = _neighbor_min(lab.reshape(shape3), occupied, sentinel).reshape(-1)
         new = jnp.where(occ, jnp.minimum(lab, m), lab)
-        # pointer jumping: follow labels two hops
-        new = jnp.where(occ, jnp.minimum(new, new[new]), new)
-        new = jnp.where(occ, jnp.minimum(new, new[new]), new)
+
+        def jump(x):
+            x = jnp.where(occ, jnp.minimum(x, x[x]), x)
+            return jnp.where(occ, jnp.minimum(x, x[x]), x)
+
+        new = jax.lax.cond(it % JUMP_EVERY == JUMP_EVERY - 1, jump,
+                           lambda x: x, new)
         changed = jnp.any(new != lab)
-        return new, changed
+        return new, changed, it + 1
 
-    def cond(state):
-        return state[1]
-
-    lab, _ = jax.lax.while_loop(
-        lambda s: s[1], lambda s: body(s), (lab, jnp.array(True)))
+    lab, _, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (lab, jnp.array(True), jnp.zeros((), jnp.int32)))
     del max_iters  # convergence is exact; cap kept in signature for tuning
     return lab
 
