@@ -45,6 +45,27 @@ def _neighbor_min(lab3: jnp.ndarray, occ3: jnp.ndarray,
     return m
 
 
+def _segmented_min_scan(lab3: jnp.ndarray, occ3: jnp.ndarray,
+                        sentinel: int, axis: int) -> jnp.ndarray:
+    """Min-label propagation along whole occupied RUNS of one axis in a
+    single (log-depth) pass: a segmented min-scan forward + backward,
+    where empty voxels break segments. One call spreads a label across an
+    entire wall/run instead of one voxel per iteration."""
+    v = jnp.where(occ3, lab3, sentinel)
+    flag = ~occ3  # empty cells start a new segment
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    fwd, _ = jax.lax.associative_scan(combine, (v, flag), axis=axis)
+    bwd, _ = jax.lax.associative_scan(combine, (v, flag), axis=axis,
+                                      reverse=True)
+    out = jnp.minimum(fwd, bwd)
+    return jnp.where(occ3, out, lab3)
+
+
 def connected_components(occupied: jnp.ndarray, max_iters: int = 64
                          ) -> jnp.ndarray:
     """Label occupied voxels by connected component (26-connectivity).
@@ -66,15 +87,20 @@ def connected_components(occupied: jnp.ndarray, max_iters: int = 64
     own = jnp.arange(g, dtype=jnp.int32)
     lab = own
 
-    # Gathers (pointer jumping) are expensive on TPU relative to the
-    # shift-based neighbour min, but they collapse long label chains;
-    # jump only every JUMP_EVERY iterations.
-    JUMP_EVERY = 4
+    # Each iteration: (a) segmented min-scans spread labels across whole
+    # occupied runs of the sector and range axes (log-depth, shift-only);
+    # (b) a 3x3x3 separable neighbour min hops across diagonal/azimuth
+    # connections; (c) a periodic pointer-jump (gathers - expensive on TPU,
+    # so amortized) collapses remaining label chains.
+    JUMP_EVERY = 2
 
     def body(state):
         lab, _, it = state
-        m = _neighbor_min(lab.reshape(shape3), occupied, sentinel).reshape(-1)
-        new = jnp.where(occ, jnp.minimum(lab, m), lab)
+        lab3 = lab.reshape(shape3)
+        lab3 = _segmented_min_scan(lab3, occupied, sentinel, axis=2)
+        lab3 = _segmented_min_scan(lab3, occupied, sentinel, axis=1)
+        m = _neighbor_min(lab3, occupied, sentinel).reshape(-1)
+        new = jnp.where(occ, jnp.minimum(lab3.reshape(-1), m), lab)
 
         def jump(x):
             x = jnp.where(occ, jnp.minimum(x, x[x]), x)
