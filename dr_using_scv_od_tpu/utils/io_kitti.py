@@ -137,9 +137,10 @@ def read_pcd_xyzi(path: str | Path) -> np.ndarray:
 
 
 def sorted_frame_files(directory: str | Path, suffix: str) -> List[Path]:
-    """Numeric-stem ordering (fileSort, src/ssc.cpp:12-22)."""
+    """Numeric-stem ordering (fileSort, src/ssc.cpp:12-22); non-numeric
+    stems (e.g. a poses.pcd in the scan dir) are skipped."""
     files = [p for p in Path(directory).iterdir()
-             if p.suffix == suffix]
+             if p.suffix == suffix and p.stem.lstrip("-").isdigit()]
     return sorted(files, key=lambda p: int(p.stem))
 
 
