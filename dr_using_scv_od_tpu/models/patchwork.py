@@ -107,13 +107,15 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     pid = _patch_id(xyz, valid, cfg)
     binned = pid < P
 
-    # ---- sort by (patch, z): one sort replaces both the global z-sort and
-    # the per-patch grouping.
+    # ---- sort by (patch, z) with ONE fused-key sort (two chained argsorts
+    # double the TPU sort cost): key = pid * 2^14 + z quantized to ~5 mm.
+    # Ties within a 5 mm z-slice order arbitrarily, which only permutes
+    # equal-height seeds (no effect on the plane fits).
     z = xyz[..., 2]
-    z_ord = jnp.argsort(jnp.where(binned, z, jnp.inf))
-    pid_z = pid[z_ord]
-    order = z_ord[jnp.argsort(pid_z, stable=True)]
-    pid_sorted = pid[order]
+    qz = jnp.clip(((z + 40.0) * (16383.0 / 80.0)), 0, 16383).astype(
+        jnp.int32)
+    key = jnp.where(binned, pid * 16384 + qz, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
 
     counts = jax.ops.segment_sum(binned.astype(jnp.int32), pid,
                                  num_segments=P + 1)[:P]

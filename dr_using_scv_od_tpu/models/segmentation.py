@@ -84,29 +84,34 @@ def refine_by_intensity(root_grid: jnp.ndarray, grid: VoxelGrid,
                        1, cfg.seg.search_c)
 
     side = 2 * pad + 1
-    n_shifts = side ** 3
+    # neighbour quality is a per-voxel property (occupied & low variance);
+    # precompute it once - only the |mean difference| term is pairwise
+    ok_vox_p = occ_p & (cov_p <= cfg.seg.intensity_cov)
 
     def one_iteration(lab: jnp.ndarray) -> jnp.ndarray:
         lab3 = lab.reshape(shape3)
         lab_p = jnp.pad(lab3, pad, constant_values=sentinel)
 
-        def shift_body(i, m):
-            da = i // (side * side) - pad
-            dr = (i // side) % side - pad
-            ds = i % side - pad
-            cheb = jnp.maximum(jnp.abs(da),
-                               jnp.maximum(jnp.abs(dr), jnp.abs(ds)))
-            nb_lab = _shift_gather(lab_p, da, dr, ds, shape3, pad)
-            nb_occ = _shift_gather(occ_p, da, dr, ds, shape3, pad)
-            nb_av = _shift_gather(av_p, da, dr, ds, shape3, pad)
-            nb_cov = _shift_gather(cov_p, da, dr, ds, shape3, pad)
-            ok = (nb_occ
-                  & (cheb <= radius)
-                  & (nb_cov <= cfg.seg.intensity_cov)
-                  & (jnp.abs(av3 - nb_av) <= cfg.seg.intensity_diff))
-            return jnp.minimum(m, jnp.where(ok, nb_lab, sentinel))
+        # static unroll of the (da, dr) plane (25 shifts of ILP-friendly
+        # elementwise work) inside a short fori over ds - a flat fori over
+        # all 125 shifts serializes into a long dependency chain on TPU
+        def ds_body(k, m):
+            ds = k - pad
+            for da in range(-pad, pad + 1):
+                for dr in range(-pad, pad + 1):
+                    cheb = max(abs(da), abs(dr))
+                    cheb_full = jnp.maximum(cheb, jnp.abs(ds))
+                    nb_lab = _shift_gather(lab_p, da, dr, ds, shape3, pad)
+                    nb_ok = _shift_gather(ok_vox_p, da, dr, ds, shape3, pad)
+                    nb_av = _shift_gather(av_p, da, dr, ds, shape3, pad)
+                    ok = (nb_ok
+                          & (cheb_full <= radius)
+                          & (jnp.abs(av3 - nb_av)
+                             <= cfg.seg.intensity_diff))
+                    m = jnp.minimum(m, jnp.where(ok, nb_lab, sentinel))
+            return m
 
-        m = jax.lax.fori_loop(0, n_shifts, shift_body,
+        m = jax.lax.fori_loop(0, side, ds_body,
                               jnp.full(shape3, sentinel, lab.dtype))
         new = jnp.where(occ3, jnp.minimum(lab3, m), lab3).reshape(-1)
         # broadcast the min label cluster-wide (transitive closure of this
