@@ -100,67 +100,91 @@ def _patch_id(xyz: jnp.ndarray, valid: jnp.ndarray, cfg: PatchworkConfig):
 
 def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
                     cfg: PatchworkConfig) -> PatchworkResult:
-    """Batched Patchwork. xyz [N,3] f32, valid [N] bool."""
+    """Batched Patchwork. xyz [N,3] f32, valid [N] bool.
+
+    Sort-free formulation: the reference's z-sorted per-patch point lists
+    exist only to pick the num_lpr lowest points (extract_initial_seeds_,
+    patchwork.h:235-268). Here that quantile comes from a per-patch
+    z-HISTOGRAM (segment scatter-add) - no global sort, no padded [P, K]
+    gathers - and every plane fit runs as masked per-patch segment-sums
+    keyed by patch id. LPR heights are exact up to one histogram bin
+    (~5 cm), well inside th_seeds = 0.3 m.
+    """
     N = xyz.shape[0]
-    P, K = cfg.num_patches, cfg.max_pts_per_patch
+    P = cfg.num_patches
+    NB = 128  # z-histogram bins per patch
 
     pid = _patch_id(xyz, valid, cfg)
     binned = pid < P
-
-    # ---- sort by (patch, z) with ONE fused-key sort (two chained argsorts
-    # double the TPU sort cost): key = pid * 2^14 + z quantized to ~5 mm.
-    # Ties within a 5 mm z-slice order arbitrarily, which only permutes
-    # equal-height seeds (no effect on the plane fits).
     z = xyz[..., 2]
-    qz = jnp.clip(((z + 40.0) * (16383.0 / 80.0)), 0, 16383).astype(
-        jnp.int32)
-    key = jnp.where(binned, pid * 16384 + qz, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
 
     counts = jax.ops.segment_sum(binned.astype(jnp.int32), pid,
                                  num_segments=P + 1)[:P]
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
 
-    # padded gather [P, K] of global point indices
-    k_ar = jnp.arange(K, dtype=jnp.int32)
-    gather_idx = offsets[:, None] + k_ar[None, :]
-    in_patch = k_ar[None, :] < counts[:, None]
-    gather_idx = jnp.clip(gather_idx, 0, N - 1)
-    pt_idx = order[gather_idx]                      # [P, K]
-    # gather coordinates separately: a vector gather xyz[pt_idx] pads the
-    # size-3 slice dim to 128 lanes on TPU (~0.5 GB of temp waste)
-    pts = jnp.stack([xyz[:, 0][pt_idx], xyz[:, 1][pt_idx],
-                     xyz[:, 2][pt_idx]], axis=-1)   # [P, K, 3]
-    patch_overflow = jnp.sum(jnp.maximum(counts - K, 0))
-
-    # ---- seeds (extract_initial_seeds_, patchwork.h:235-268)
-    zz = pts[..., 2]
-    zone0 = _zone0_mask(cfg)                        # [P]
+    # ---- LPR seed height via per-patch z histogram
+    zone0 = _zone0_mask(cfg)
     margin = cfg.adaptive_seed_selection_margin * cfg.sensor_height
-    skip = in_patch & zone0[:, None] & (zz < margin)
-    # reference skips a z-sorted *prefix*; emulate: a point is skipped only if
-    # every point before it (lower z) in the patch is below the margin too.
-    not_skip = ~skip & in_patch
-    first_ok = jnp.cumsum(not_skip.astype(jnp.int32), axis=1)
-    seed_candidate = in_patch & (first_ok > 0)      # after first non-skipped
-    cand_rank = jnp.cumsum(seed_candidate.astype(jnp.int32), axis=1)
-    lpr_sel = seed_candidate & (cand_rank <= cfg.num_lpr)
-    lpr_cnt = jnp.maximum(jnp.sum(lpr_sel, axis=1), 1)
-    lpr_height = jnp.sum(jnp.where(lpr_sel, zz, 0.0), axis=1) / lpr_cnt
-    seeds = in_patch & (zz < (lpr_height[:, None] + cfg.th_seeds))
+    # zone0 skips the sorted prefix below the margin (patchwork.h:245-253)
+    in_hist = binned & ~(zone0[jnp.clip(pid, 0, P - 1)] & (z < margin))
+    z_lo = -1.8 * cfg.sensor_height          # points below got erased
+    z_hi = z_lo + 8.0                        # seeds live near the ground
+    zbin = jnp.clip(((z - z_lo) / (z_hi - z_lo) * NB), 0, NB - 1
+                    ).astype(jnp.int32)
+    slot = jnp.where(in_hist, pid * NB + zbin, P * NB)
+    hist = jax.ops.segment_sum(in_hist.astype(jnp.int32), slot,
+                               num_segments=P * NB + 1)[:P * NB]
+    hist = hist.reshape(P, NB)
+    zsum = jax.ops.segment_sum(jnp.where(in_hist, z, 0.0), slot,
+                               num_segments=P * NB + 1)[:P * NB]
+    zsum = zsum.reshape(P, NB)
+    cum = jnp.cumsum(hist, axis=1)
+    # bin where the cumulative count reaches num_lpr
+    need = jnp.minimum(cfg.num_lpr, jnp.maximum(cum[:, -1], 1))
+    lpr_bin = jnp.argmax(cum >= need[:, None], axis=1)
+    take = cum[jnp.arange(P), lpr_bin]
+    zsum_cum = jnp.cumsum(zsum, axis=1)[jnp.arange(P), lpr_bin]
+    lpr_height = zsum_cum / jnp.maximum(take, 1)
 
-    # ---- iterative plane fit (extract_piecewiseground, patchwork.h:463-504)
-    ground_mask = seeds
-    normal = jnp.zeros((P, 3), xyz.dtype)
-    mean = jnp.zeros((P, 3), xyz.dtype)
-    evals = jnp.zeros((P, 3), xyz.dtype)
+    seeds = in_hist & (z < (lpr_height[jnp.clip(pid, 0, P - 1)]
+                            + cfg.th_seeds))
+
+    # ---- iterative plane fit: masked segment-sums keyed by patch id
+    def fit(mask):
+        seg = jnp.where(mask, pid, P)
+
+        def ssum(v):
+            return jax.ops.segment_sum(jnp.where(mask, v, 0.0), seg,
+                                       num_segments=P + 1)[:P]
+
+        x, y, zz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        n = ssum(jnp.ones_like(x))
+        sn = jnp.maximum(n, 1.0)
+        mx, my, mz = ssum(x) / sn, ssum(y) / sn, ssum(zz) / sn
+        cxx = ssum(x * x) / sn - mx * mx
+        cyy = ssum(y * y) / sn - my * my
+        czz = ssum(zz * zz) / sn - mz * mz
+        cxy = ssum(x * y) / sn - mx * my
+        cxz = ssum(x * zz) / sn - mx * mz
+        cyz = ssum(y * zz) / sn - my * mz
+        cov = jnp.stack([
+            jnp.stack([cxx, cxy, cxz], -1),
+            jnp.stack([cxy, cyy, cyz], -1),
+            jnp.stack([cxz, cyz, czz], -1)], axis=-2)
+        evals, evecs = plane_ops.eigh3x3(cov)
+        normal = evecs[..., :, 0]
+        sign = jnp.where(normal[..., 2] < 0, -1.0, 1.0)
+        normal = normal * sign[..., None]
+        mean = jnp.stack([mx, my, mz], axis=-1)
+        return normal, mean, evals
+
+    mask = seeds
     for _ in range(cfg.num_iter):
-        normal, mean, evals, _ = plane_ops.fit_plane(pts, ground_mask)
+        normal, mean, evals = fit(mask)
         # th_dist_d = th_dist - d, d = -n . mean  (patchwork.h:229-231)
-        dist = jnp.einsum('pkc,pc->pk', pts, normal)
         th = cfg.th_dist + jnp.einsum('pc,pc->p', normal, mean)
-        ground_mask = in_patch & (dist < th[:, None])
+        dist = jnp.einsum('nc,nc->n', xyz,
+                          normal[jnp.clip(pid, 0, P - 1)])
+        mask = binned & (dist < th[jnp.clip(pid, 0, P - 1)])
 
     # ---- patch verdicts (patchwork.h:339-384)
     conc_idx, thr_slot = _patch_tables(cfg)
@@ -171,37 +195,24 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
 
     elev_thr = jnp.asarray(cfg.elevation_thr, xyz.dtype)
     flat_thr = jnp.asarray(cfg.flatness_thr, xyz.dtype)
-    slot = jnp.clip(thr_slot, 0, len(cfg.elevation_thr) - 1)
+    slot_t = jnp.clip(thr_slot, 0, len(cfg.elevation_thr) - 1)
     has_slot = thr_slot >= 0
-    too_high = has_slot & (elevation > elev_thr[slot])
-    flat_enough = has_slot & (surface_var < flat_thr[slot])
+    too_high = has_slot & (elevation > elev_thr[slot_t])
+    flat_enough = has_slot & (surface_var < flat_thr[slot_t])
 
     upright = uprightness >= cfg.uprightness_thr
-    # accept ground points of a patch iff upright and (not in rings of
-    # interest | elevation ok | flatness recovery)
     accept = upright & (~too_high | flat_enough)
     processed = counts > cfg.num_min_pts             # patchwork.h:331
 
-    patch_ground = accept[:, None] & ground_mask & processed[:, None]
-    patch_nonground = in_patch & ~patch_ground & processed[:, None]
-
-    # ---- scatter patch verdicts back to point space
-    ground = jnp.zeros((N,), bool)
-    nonground = jnp.zeros((N,), bool)
-    flat_pt = pt_idx.reshape(-1)
-    ground = ground.at[flat_pt].max(patch_ground.reshape(-1))
-    nonground = nonground.at[flat_pt].max(patch_nonground.reshape(-1))
-    # overflow points (beyond K) were never scattered: route them to
-    # nonground rather than dropping them silently.
-    seen = jnp.zeros((N,), bool).at[flat_pt].max(in_patch.reshape(-1))
-    overflow_pts = binned & ~seen & valid
-    nonground = nonground | overflow_pts
+    pid_c = jnp.clip(pid, 0, P - 1)
+    ground = binned & processed[pid_c] & accept[pid_c] & mask
+    nonground = binned & processed[pid_c] & ~ground
     ground = ground & valid
-    nonground = nonground & valid & ~ground
+    nonground = nonground & valid
     dropped = valid & ~ground & ~nonground
     return PatchworkResult(ground=ground, nonground=nonground,
                            dropped=dropped,
-                           patch_overflow=patch_overflow.astype(jnp.int32),
+                           patch_overflow=jnp.zeros((), jnp.int32),
                            patch_normal=normal, patch_mean_z=elevation)
 
 
