@@ -118,7 +118,7 @@ def _cc_tile_kernel(occ_hbm, lab_hbm, lab_out, changed_out,
     hi = lo + AB * R
     interior = final[lo:hi]
     lab_out[:] = interior
-    changed_out[0] = jnp.sum(
+    changed_out[i] = jnp.sum(
         (interior != lab0[lo:hi]).astype(jnp.int32))
 
 
@@ -160,7 +160,7 @@ def connected_components_pallas(occupied: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((AB * R, S_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles * AB * R, S_pad), jnp.int32),

@@ -101,7 +101,7 @@ def _ri3_tile_kernel(lab_hbm, orig_hbm, av_hbm, qual_hbm,
     hi = lo + AB * R
     interior = lab[lo:hi]
     lab_out[:] = interior
-    changed_out[0] = jnp.sum((interior != lab0[lo:hi]).astype(jnp.int32))
+    changed_out[i] = jnp.sum((interior != lab0[lo:hi]).astype(jnp.int32))
 
 
 def refine_by_intensity_pallas(root_grid: jnp.ndarray, count: jnp.ndarray,
@@ -155,7 +155,7 @@ def refine_by_intensity_pallas(root_grid: jnp.ndarray, count: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((AB * R, S_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles * AB * R, S_pad), jnp.int32),
