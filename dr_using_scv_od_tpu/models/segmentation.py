@@ -151,13 +151,22 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     idx3, flat, in_fov = quantize.quantize(xyz, nonground, cfg.grid)
     grid = quantize.voxel_stats(flat, intensity, in_fov, cfg.grid)
 
-    # --- CVC connected components over occupied voxels
+    # --- CVC connected components + RI3 intensity refinement.
+    # On TPU both run as VMEM-tiled Pallas kernels (ops/pallas); the XLA
+    # formulations remain the CPU/test path and the semantic reference.
     occ3 = grid.occupied.reshape(shape3)
-    root_grid = clustering.connected_components(occ3,
-                                                cfg.seg.cc_max_iters)
-
-    # --- RI3 intensity refinement
-    root_grid = refine_by_intensity(root_grid, grid, cfg)
+    use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from ..ops.pallas import cc_kernel, ri3_kernel
+        root_grid = cc_kernel.connected_components_pallas(occ3)
+        root_grid = ri3_kernel.refine_by_intensity_pallas(
+            root_grid, grid.count, grid.intensity_mean, grid.intensity_var,
+            shape3, cfg.seg.search_c, cfg.seg.intensity_cov,
+            cfg.seg.intensity_diff, cfg.seg.far_range_frac)
+    else:
+        root_grid = clustering.connected_components(occ3,
+                                                    cfg.seg.cc_max_iters)
+        root_grid = refine_by_intensity(root_grid, grid, cfg)
 
     # --- compact to cluster table
     safe_flat = jnp.clip(flat, 0, g - 1)

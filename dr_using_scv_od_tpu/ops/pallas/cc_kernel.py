@@ -109,8 +109,7 @@ def _cc_tile_kernel(occ_hbm, lab_hbm, lab_out, changed_out,
                 tot = jnp.minimum(tot, sh)
         return jnp.where(occ, jnp.minimum(lab, tot), inf)
 
-    for _ in range(local_iters):
-        lab = one_iter(lab)
+    lab = jax.lax.fori_loop(0, local_iters, lambda k, l: one_iter(l), lab)
 
     final = jnp.where(occ, lab, lab0)
     # write back the interior rows only
@@ -171,6 +170,8 @@ def connected_components_pallas(occupied: jnp.ndarray,
             pltpu.VMEM((tile_rows, S_pad), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 

@@ -93,9 +93,7 @@ def _ri3_tile_kernel(lab_hbm, orig_hbm, av_hbm, qual_hbm,
                     tot = jnp.minimum(tot, jnp.where(ok, nb_lab, inf))
         return jnp.where(occ, tot, lab)
 
-    lab = lab0
-    for _ in range(local_iters):
-        lab = one_iter(lab)
+    lab = jax.lax.fori_loop(0, local_iters, lambda k, l: one_iter(l), lab0)
 
     lo = H * R
     hi = lo + AB * R
@@ -168,6 +166,8 @@ def refine_by_intensity_pallas(root_grid: jnp.ndarray, count: jnp.ndarray,
             pltpu.VMEM((tile_rows, S_pad), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
