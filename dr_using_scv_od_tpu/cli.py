@@ -78,8 +78,13 @@ def cmd_segdf(args):
         print(f"  class {c}: RR={rr:.2f}%  remain={remain}/{total}")
 
     if args.out:
+        from .utils import artifacts
         out = Path(args.out)
         out.mkdir(parents=True, exist_ok=True)
+        pc_all = np.asarray(res.point_cluster)
+        types = np.asarray(res.tables.type)
+        states = np.asarray(res.tables.state)
+        tracks = np.asarray(res.tables.track_id)
         for f in range(F):
             keep = np.asarray(win["valid"][f]) & ~removed[f]
             xyzi = np.concatenate(
@@ -91,6 +96,11 @@ def cmd_segdf(args):
                 [np.asarray(win["xyz"][f])[dyn],
                  np.asarray(win["intensity"][f])[dyn, None]], axis=1)
             io_kitti.write_pcd_xyzi(out / f"{f:06d}_dynamic.pcd", xyzi_d)
+            # colored cluster visualization (saveSegCloud analog)
+            xyzrgb = artifacts.colored_segmentation(
+                np.asarray(win["xyz"][f]), pc_all[f],
+                types[f], states[f], tracks[f])
+            artifacts.write_colored_pcd(out / f"{f:06d}_seg.pcd", xyzrgb)
         print(f"artifacts -> {out}")
     return 0
 
@@ -126,6 +136,47 @@ def cmd_colorize(args):
     pts = io_kitti.read_bin(args.bin)
     io_kitti.write_pcd_xyzi(args.out, pts)
     print(f"{len(pts)} pts -> {args.out}")
+    return 0
+
+
+def cmd_erasor(args):
+    """Clean an accumulated map against a scan (models/erasor.py; the
+    reference only *compares* against ERASOR via src/erasor_dynamic.cpp)."""
+    import jax.numpy as jnp
+    from .models import erasor
+    from .utils import io_kitti
+
+    m = io_kitti.read_pcd_xyzi(args.map)
+    s = io_kitti.read_pcd_xyzi(args.scan)
+    ego = np.asarray(json.loads(args.ego), np.float32) if args.ego \
+        else np.zeros(3, np.float32)
+    res = erasor.clean_map(jnp.asarray(m[:, :3]), jnp.ones(len(m), bool),
+                           jnp.asarray(s[:, :3]), jnp.ones(len(s), bool),
+                           jnp.asarray(ego), erasor.ErasorConfig())
+    dyn = np.asarray(res.dynamic)
+    io_kitti.write_pcd_xyzi(args.out_static, m[~dyn])
+    io_kitti.write_pcd_xyzi(args.out_dynamic, m[dyn])
+    print(f"map {len(m)} pts: static {int((~dyn).sum())}, "
+          f"dynamic {int(dyn.sum())} "
+          f"(candidate bins {int(np.asarray(res.candidate_bins).sum())})")
+    return 0
+
+
+def cmd_iou(args):
+    """Per-class semantic IoU of a classified map vs GT labels
+    (src/plotObject.cpp analog)."""
+    from .eval import metrics as metrics_mod
+    from .utils import io_kitti
+
+    gt = io_kitti.read_pcd_xyzi(args.gt)
+    est = io_kitti.read_pcd_xyzi(args.est)
+    assert len(gt) == len(est), "gt/est must be point-aligned"
+    class_map = {0: (50, 51, 52), 1: (70, 71, 72), 2: (10, 252)}
+    res = metrics_mod.semantic_iou(gt[:, 3].astype(np.uint32),
+                                   est[:, 3].astype(np.int32),
+                                   np.ones(len(gt), bool), class_map)
+    for cls, name in [(0, "building"), (1, "tree"), (2, "car/PD")]:
+        print(f"  {name}: IoU={res[cls]:.2f}%")
     return 0
 
 
@@ -167,6 +218,19 @@ def main(argv=None):
     sp.add_argument("--bin", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_colorize)
+
+    sp = sub.add_parser("erasor", help="ERASOR-style map cleaning")
+    sp.add_argument("--map", required=True)
+    sp.add_argument("--scan", required=True)
+    sp.add_argument("--ego", default=None, help="json [x,y,z]")
+    sp.add_argument("--out-static", default="static.pcd")
+    sp.add_argument("--out-dynamic", default="dynamic.pcd")
+    sp.set_defaults(fn=cmd_erasor)
+
+    sp = sub.add_parser("iou", help="per-class semantic IoU")
+    sp.add_argument("--gt", required=True)
+    sp.add_argument("--est", required=True)
+    sp.set_defaults(fn=cmd_iou)
 
     args = p.parse_args(argv)
     return args.fn(args)
