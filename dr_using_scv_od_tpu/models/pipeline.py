@@ -66,10 +66,17 @@ def process_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
 def process_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
                    valid: jnp.ndarray, poses: jnp.ndarray,
                    cfg: PipelineConfig) -> FrameOutput:
-    """vmap the frame pipeline over a [F, ...] window (data-parallel axis;
-    sharded variant in parallel/sharded_pipeline.py)."""
+    """Map the frame pipeline over a [F, ...] window (data-parallel axis;
+    sharded variant in parallel/sharded_pipeline.py).
+
+    On TPU the frame axis runs as `lax.map` - the segmentation stage uses
+    Pallas kernels, whose TPU lowering cannot be vmapped, and a single
+    chip executes frames sequentially either way. The CPU/test path keeps
+    vmap (batch-fused XLA ops are faster there)."""
     fn = functools.partial(process_frame, cfg=cfg)
-    return jax.vmap(fn)(xyz, intensity, valid, poses)
+    if jax.default_backend() == "cpu":
+        return jax.vmap(fn)(xyz, intensity, valid, poses)
+    return jax.lax.map(lambda a: fn(*a), (xyz, intensity, valid, poses))
 
 
 class WindowResult(NamedTuple):
