@@ -49,7 +49,8 @@ def _ri3_tile_kernel(lab_hbm, orig_hbm, av_hbm, qual_hbm,
     lab0 = lab_s[:]
     orig = orig_s[:]
     av = av_s[:]
-    qual = qual_s[:] != 0          # occupied & variance-ok
+    qual = qual_s[:]               # int32: occupied & variance-ok
+    # (kept int32 - Mosaic cannot rotate non-32-bit data)
     occ = orig != inf              # orig labels are inf on empty voxels
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, S_pad), 0) % R
@@ -80,7 +81,7 @@ def _ri3_tile_kernel(lab_hbm, orig_hbm, av_hbm, qual_hbm,
                     nb_lab = sh2(lab)
                     nb_orig = sh2(orig)
                     nb_av = sh2(av)
-                    nb_qual = sh2(qual)
+                    nb_qual = sh2(qual) != 0
                     ok_pred = nb_qual & (jnp.abs(av - nb_av) <= av_diff)
                     ok = ok_pred | (nb_orig == orig)
                     if cheb == 2:
