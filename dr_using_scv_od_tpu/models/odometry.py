@@ -59,6 +59,41 @@ def estimate_window_poses(xyz: jnp.ndarray, valid: jnp.ndarray,
                           final_error=err)
 
 
+def estimate_window_poses_scan_to_map(xyz: jnp.ndarray, valid: jnp.ndarray,
+                                      cfg: PipelineConfig
+                                      ) -> OdometryResult:
+    """Scan-to-MAP odometry: each frame registers against the accumulated
+    voxel map of all previous frames (running Gaussian sums merged per
+    frame - VoxelMap is additive), which suppresses the drift of pairwise
+    chaining. Sequential by nature (`lax.scan`)."""
+    from ..ops import geometry
+    F = xyz.shape[0]
+
+    vm0 = gicp.build_voxel_map(xyz[0], valid[0], cfg.gicp)
+    T0 = jnp.eye(4, dtype=xyz.dtype)
+
+    def step(carry, t):
+        vm, T_world, T_rel_prev = carry
+        target = gicp.finalize_target(vm, cfg.gicp)
+        # warm start: constant velocity in the world frame
+        T_init = T_world @ T_rel_prev
+        src = xyz[t + 1]
+        res = gicp.register(src, valid[t + 1], target, cfg.gicp,
+                            T_init=T_init)
+        T_new = res.T            # world_T_frame (map frame == frame 0)
+        T_rel = geometry.inverse_se3(T_world) @ T_new
+        warped = geometry.transform_points(T_new, src)
+        vm = vm.merge(gicp.build_voxel_map(warped, valid[t + 1], cfg.gicp))
+        return (vm, T_new, T_rel), (T_new, T_rel, res.n_corr,
+                                    res.final_error)
+
+    (_, _, _), (poses_rest, rel_T, n_corr, err) = jax.lax.scan(
+        step, (vm0, T0, T0), jnp.arange(F - 1))
+    poses = jnp.concatenate([T0[None], poses_rest], axis=0)
+    return OdometryResult(poses=poses, rel_T=rel_T, n_corr=n_corr,
+                          final_error=err)
+
+
 def ate_rmse(est_poses: jnp.ndarray, gt_poses: jnp.ndarray) -> jnp.ndarray:
     """Absolute trajectory error (RMSE of translation), gauge-aligned to
     frame 0 (both sequences expressed relative to their first pose)."""

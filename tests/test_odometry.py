@@ -29,6 +29,19 @@ def test_window_odometry_accuracy(window):
     assert np.all(np.asarray(res.n_corr) > 5000)
 
 
+def test_scan_to_map_beats_chaining(window):
+    cfg, win = window
+    s2s = odometry.estimate_window_poses(jnp.asarray(win["xyz"]),
+                                         jnp.asarray(win["valid"]), cfg)
+    s2m = odometry.estimate_window_poses_scan_to_map(
+        jnp.asarray(win["xyz"]), jnp.asarray(win["valid"]), cfg)
+    gt = jnp.asarray(win["poses"])
+    ate_s2s = float(odometry.ate_rmse(s2s.poses, gt))
+    ate_s2m = float(odometry.ate_rmse(s2m.poses, gt))
+    assert ate_s2m < 0.05
+    assert ate_s2m <= ate_s2s + 0.01
+
+
 def test_pipeline_with_estimated_poses(window):
     cfg, win = window
     od = odometry.estimate_window_poses(jnp.asarray(win["xyz"]),
