@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compilation cache: the full pipeline takes ~20 min to
+    # compile through the remote TPU compiler; cached executables load in
+    # seconds on subsequent runs
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     from dr_using_scv_od_tpu import config
     from dr_using_scv_od_tpu.models import pipeline

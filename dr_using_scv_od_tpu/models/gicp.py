@@ -54,8 +54,9 @@ class GicpTarget(NamedTuple):
 class GicpResult(NamedTuple):
     T: jnp.ndarray          # [4,4] target_T_source
     n_iters: jnp.ndarray    # int32
-    final_error: jnp.ndarray
+    final_error: jnp.ndarray  # mean Mahalanobis cost (weighted)
     n_corr: jnp.ndarray     # int32 correspondences at convergence
+    rmse: jnp.ndarray       # Euclidean RMS residual of inliers (metres)
 
 
 def _grid_dims(cfg: GicpConfig):
@@ -177,7 +178,7 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
         return mean, w, ok
 
     def step(state):
-        T, it, _, _, delta = state
+        T, it, _, _, _, delta = state
         p = geometry.transform_points(T, source_xyz)
         flat, ok = voxel_index(p, source_valid, cfg)
         mean, w_packed, ok = gather_target(flat, ok)
@@ -195,20 +196,23 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
         g = jnp.einsum('nji,nj->i', WJ, r)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
         dxi = -jnp.linalg.solve(H, g)
-        err = jnp.einsum('ni,nij,nj->', r, W, r) / jnp.maximum(
-            jnp.sum(ok), 1)
+        n_ok = jnp.maximum(jnp.sum(ok), 1)
+        err = jnp.einsum('ni,nij,nj->', r, W, r) / n_ok
+        rmse = jnp.sqrt(jnp.sum(jnp.sum(r * r, -1) * ok) / n_ok)
         T_new = geometry.exp_se3(dxi) @ T
         return (T_new, it + 1, err, jnp.sum(ok).astype(jnp.int32),
-                jnp.linalg.norm(dxi))
+                rmse, jnp.linalg.norm(dxi))
 
     def cond(state):
-        _, it, _, _, delta = state
+        _, it, _, _, _, delta = state
         return (it < cfg.max_iters) & (delta > cfg.tolerance)
 
     init = (T_init, jnp.zeros((), jnp.int32), jnp.inf,
-            jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf))
-    T, it, err, ncorr, _ = jax.lax.while_loop(cond, step, init)
-    return GicpResult(T=T, n_iters=it, final_error=err, n_corr=ncorr)
+            jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf),
+            jnp.asarray(jnp.inf))
+    T, it, err, ncorr, rmse, _ = jax.lax.while_loop(cond, step, init)
+    return GicpResult(T=T, n_iters=it, final_error=err, n_corr=ncorr,
+                      rmse=rmse)
 
 
 def scan_to_scan(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
