@@ -180,6 +180,10 @@ class TrackingConfig:
     """
 
     occupancy: float = 0.4   # voxel-overlap ratio threshold
+    # Ablation: the reference's "TC" (tracking compensation) is the
+    # split/merge mutation of the next frame (doc/note.txt ablations;
+    # the "-TC"-less variant keeps verdicts but skips mutations).
+    enable_compensation: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -159,14 +159,17 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     if use_pallas:
         from ..ops.pallas import cc_kernel, ri3_kernel
         root_grid = cc_kernel.connected_components_pallas(occ3)
-        root_grid = ri3_kernel.refine_by_intensity_pallas(
-            root_grid, grid.count, grid.intensity_mean, grid.intensity_var,
-            shape3, cfg.seg.search_c, cfg.seg.intensity_cov,
-            cfg.seg.intensity_diff, cfg.seg.far_range_frac)
+        if cfg.seg.iteration > 0:     # "-RI3" ablation: iteration = 0
+            root_grid = ri3_kernel.refine_by_intensity_pallas(
+                root_grid, grid.count, grid.intensity_mean,
+                grid.intensity_var, shape3, cfg.seg.search_c,
+                cfg.seg.intensity_cov, cfg.seg.intensity_diff,
+                cfg.seg.far_range_frac)
     else:
         root_grid = clustering.connected_components(occ3,
                                                     cfg.seg.cc_max_iters)
-        root_grid = refine_by_intensity(root_grid, grid, cfg)
+        if cfg.seg.iteration > 0:
+            root_grid = refine_by_intensity(root_grid, grid, cfg)
 
     # --- compact to cluster table
     safe_flat = jnp.clip(flat, 0, g - 1)

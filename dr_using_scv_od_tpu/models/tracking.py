@@ -147,6 +147,13 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     overflow = jnp.sum(needs_new & ~got_row)
     new_row = jnp.where(got_row, new_row, C)
 
+    if not cfg.track.enable_compensation:
+        # "-TC" ablation: verdicts only, no next-frame mutations
+        nvox_plain = next_table.n_voxels
+        return (prev_table, next_table, next_grid, counter,
+                jnp.sum(verdict_dyn).astype(jnp.int32),
+                jnp.zeros((), jnp.int32))
+
     # ---- apply split: carve hit voxels of lstar into the new row
     # (ssc.cpp:1355-1374); conflicts resolve to the min new row
     pair_split = (u_c < C) & is_split[jnp.clip(u_c, 0, C - 1)] \
