@@ -12,6 +12,7 @@ Run `python -m dr_using_scv_od_tpu.cli <cmd> --help`.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 from pathlib import Path
@@ -23,7 +24,17 @@ def _load_window(args, cfg):
     import jax.numpy as jnp
     if args.data == "synthetic":
         from .utils import synthetic
-        scene = synthetic.make_scene(synthetic.SceneSpec(seed=args.seed))
+        if getattr(args, "scene", "default") == "tiny":
+            spec = synthetic.SceneSpec(
+                ground_pts=1500, building_pts=300, tree_pts=100,
+                car_pts=120, n_buildings=2, n_trees=3, n_parked_cars=2,
+                n_moving_cars=2, extent=14.0, moving_speed=4.0,
+                ego_speed=1.0, seed=args.seed)
+        else:
+            spec = synthetic.SceneSpec(seed=args.seed)
+        if getattr(args, "extent", None):
+            spec = dataclasses.replace(spec, extent=args.extent)
+        scene = synthetic.make_scene(spec)
         win = synthetic.render_window(scene, args.frames,
                                       cfg.shapes.max_points)
     else:
@@ -180,6 +191,127 @@ def cmd_iou(args):
     return 0
 
 
+def cmd_remain(args):
+    """Recolor an estimated static map by GT dynamic labels: remaining
+    dynamic points red, static grey (ufo_remain, src/plotStatic.cpp)."""
+    from .utils import artifacts, io_kitti
+
+    m = io_kitti.read_pcd_xyzi(args.map)
+    xyzrgb = artifacts.remain_map(m[:, :3], m[:, 3].astype(np.uint32))
+    n_dyn = int((xyzrgb[:, 3] == 255).sum())
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    artifacts.write_colored_pcd(out, xyzrgb)
+    print(f"{len(m)} pts, {n_dyn} remaining dynamic -> {out}")
+    return 0
+
+
+def cmd_merge(args):
+    """Merge consecutive (ground, nonground) PCD pairs back into single
+    XYZI scans (the reference's misnamed src/gicp.cpp:15-57)."""
+    from .utils import io_kitti
+
+    files = io_kitti.sorted_frame_files(args.dir, ".pcd")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    count = 0
+    for i in range(0, len(files) - 1, 2):
+        a = io_kitti.read_pcd_xyzi(files[i])
+        b = io_kitti.read_pcd_xyzi(files[i + 1])
+        merged = np.concatenate([a, b], axis=0)
+        merged[:, 3] = 0.0
+        io_kitti.write_pcd_xyzi(out / f"{count}.pcd", merged)
+        count += 1
+    print(f"{count} merged scans -> {out}")
+    return 0
+
+
+def cmd_pcd2bin(args):
+    """PCD dir -> KITTI .bin dir (tool/pcd2bin.py analog)."""
+    from .utils import io_kitti
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    files = io_kitti.sorted_frame_files(args.pcd, ".pcd")
+    for p in files:
+        xyzi = io_kitti.read_pcd_xyzi(p)
+        xyzi.astype(np.float32).tofile(out / f"{p.stem}.bin")
+    print(f"{len(files)} scans -> {out}")
+    return 0
+
+
+def cmd_sydney(args):
+    """Sydney Urban Objects .bin -> PCD (tool/car.py analog)."""
+    from .utils import io_kitti, io_sydney
+
+    xyzi = io_sydney.sydney_to_xyzi(args.bin)
+    io_kitti.write_pcd_xyzi(args.out, xyzi)
+    print(f"{len(xyzi)} pts -> {args.out}")
+    return 0
+
+
+def cmd_times(args):
+    """Per-stage timing summary from a StageTimer log
+    (tool/time.py analog, measured stages only)."""
+    from .eval import plots, reports
+
+    res = reports.parse_time_log(args.log,
+                                 args.names.split(",") if args.names
+                                 else None)
+    for k, v in res["summary"].items():
+        print(f"  {k}: {v:.2f} ms")
+    print(f"  total: {res['total_ms']:.2f} ms over {len(res['rows'])} frames")
+    if args.plot:
+        plots.plot_stage_times(res["summary"], args.plot)
+        print(f"figure -> {args.plot}")
+    return 0
+
+
+def cmd_features(args):
+    """Per-class geometric feature statistics from a pipeline run
+    (tool/feature.py analog, computed instead of hard-coded)."""
+    from . import config
+    from .eval import plots, reports
+    from .models import pipeline
+
+    cfg = getattr(config, args.profile)()
+    win_j, win = _load_window(args, cfg)
+    res = pipeline.run_window(win_j["xyz"], win_j["intensity"],
+                              win_j["valid"], win_j["poses"], cfg)
+    f = 0  # report on the first frame (stats pool across clusters)
+    stats = reports.per_class_feature_stats(
+        np.asarray(win["xyz"][f]), np.asarray(res.point_cluster[f]),
+        np.asarray(res.tables.type[f]), cfg.shapes.max_clusters,
+        np.asarray(res.tables.valid[f]))
+    for cls, feats in stats.items():
+        n = next(iter(feats.values()))["n"]
+        print(f"{cls} (n={n}):")
+        for name, st in feats.items():
+            print(f"  {name}: {st['mean']:.3f} ± {st['std']:.3f} "
+                  f"[{st['min']:.3f}, {st['max']:.3f}]")
+    if args.plot:
+        plots.plot_feature_box(stats, args.plot)
+        print(f"figure -> {args.plot}")
+    return 0
+
+
+def cmd_intensity_report(args):
+    """Histogram of per-voxel intensity dumps
+    (tool/readIntensity.py analog)."""
+    from .eval import plots, reports
+
+    av, cov = reports.read_intensity_dump(args.prefix)
+    h = reports.intensity_histogram(av, args.bins)
+    print(f"voxels={h['n']}  mean={h['mean']:.3f}  std={h['std']:.3f}")
+    print("  hist:", " ".join(str(int(c)) for c in h["counts"]))
+    hc = reports.intensity_histogram(cov, args.bins)
+    print(f"cov:    mean={hc['mean']:.3f}  std={hc['std']:.3f}")
+    if args.plot:
+        plots.plot_intensity_hist(h, args.plot)
+        print(f"figure -> {args.plot}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dr_using_scv_od_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -197,6 +329,11 @@ def main(argv=None):
         sp.add_argument("--frames", type=int, default=6,
                         help="synthetic window length")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--extent", type=float, default=None,
+                        help="synthetic scene half-extent (m)")
+        sp.add_argument("--scene", default="default",
+                        choices=["default", "tiny"],
+                        help="synthetic scene size preset")
         sp.add_argument("--out", default=None)
 
     sp = sub.add_parser("segdf", help="full dynamic-removal pipeline")
@@ -231,6 +368,48 @@ def main(argv=None):
     sp.add_argument("--gt", required=True)
     sp.add_argument("--est", required=True)
     sp.set_defaults(fn=cmd_iou)
+
+    sp = sub.add_parser("remain",
+                        help="recolor static map by GT dynamic labels")
+    sp.add_argument("--map", required=True, help="labeled static-map pcd")
+    sp.add_argument("--out", default="remain.pcd")
+    sp.set_defaults(fn=cmd_remain)
+
+    sp = sub.add_parser("merge",
+                        help="merge ground/nonground PCD pairs to scans")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("pcd2bin", help="PCD dir -> KITTI .bin dir")
+    sp.add_argument("--pcd", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_pcd2bin)
+
+    sp = sub.add_parser("sydney", help="Sydney objects .bin -> PCD")
+    sp.add_argument("--bin", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_sydney)
+
+    sp = sub.add_parser("times", help="stage-timing summary from a log")
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--names", default=None, help="comma-separated stages")
+    sp.add_argument("--plot", default=None)
+    sp.set_defaults(fn=cmd_times)
+
+    sp = sub.add_parser("features",
+                        help="per-class geometric feature statistics")
+    common(sp)
+    sp.add_argument("--plot", default=None)
+    sp.set_defaults(fn=cmd_features)
+
+    sp = sub.add_parser("intensity-report",
+                        help="histogram of recorded intensity dumps")
+    sp.add_argument("--prefix", required=True,
+                    help="dump prefix (expects <prefix>_av.txt/_cov.txt)")
+    sp.add_argument("--bins", type=int, default=10)
+    sp.add_argument("--plot", default=None)
+    sp.set_defaults(fn=cmd_intensity_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

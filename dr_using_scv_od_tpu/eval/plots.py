@@ -57,6 +57,47 @@ def plot_iou_bars(iou: Dict[int, float], names: Dict[int, str],
     return iou
 
 
+def plot_feature_box(stats: Dict[str, Dict[str, Dict[str, float]]],
+                     out: Optional[str | Path]
+                     ) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Per-class feature mean±std bars (tool/feature.py analog, from live
+    cluster data via eval.reports.per_class_feature_stats)."""
+    if _HAS_MPL and out and stats:
+        feats = list(next(iter(stats.values())).keys())
+        classes = list(stats)
+        x = list(range(len(feats)))
+        w = 0.8 / max(len(classes), 1)
+        fig, ax = plt.subplots(figsize=(7, 3.2))
+        for j, cls in enumerate(classes):
+            mu = [stats[cls][f]["mean"] for f in feats]
+            sd = [stats[cls][f]["std"] for f in feats]
+            ax.bar([xi + j * w for xi in x], mu, w, yerr=sd,
+                   capsize=2, label=cls)
+        ax.set_xticks([xi + 0.4 for xi in x])
+        ax.set_xticklabels(feats, rotation=30, ha="right", fontsize=7)
+        ax.legend(fontsize=7)
+        ax.grid(axis="y", ls="--", alpha=0.5)
+        fig.tight_layout()
+        fig.savefig(out, dpi=130)
+        plt.close(fig)
+    return stats
+
+
+def plot_intensity_hist(hist: Dict, out: Optional[str | Path]) -> Dict:
+    """Per-voxel intensity histogram (tool/readIntensity.py analog)."""
+    if _HAS_MPL and out:
+        fig, ax = plt.subplots(figsize=(4.2, 3))
+        edges = hist["edges"]
+        ax.bar(edges[:-1], hist["counts"],
+               width=(edges[1:] - edges[:-1]), align="edge")
+        ax.set_xlabel("CVI intensity")
+        ax.set_ylabel("voxels")
+        fig.tight_layout()
+        fig.savefig(out, dpi=130)
+        plt.close(fig)
+    return hist
+
+
 def plot_stage_times(summary: Dict[str, float],
                      out: Optional[str | Path]) -> Dict[str, float]:
     """Average per-stage ms (tool/time.py analog, honest version)."""

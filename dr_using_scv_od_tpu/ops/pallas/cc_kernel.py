@@ -154,8 +154,8 @@ def connected_components_pallas(occupied: jnp.ndarray,
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((AB * R, S_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
