@@ -312,6 +312,45 @@ def cmd_intensity_report(args):
     return 0
 
 
+def cmd_view(args):
+    """Headless snapshot of a PCD artifact (tool/viewer.py analog: the
+    reference pops an open3d window on a seg/<id>_seg.pcd; on a TPU host we
+    render top-down + side orthographic projections to a PNG instead)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .utils.io_session import read_pcd_fields
+
+    data, fields = read_pcd_fields(args.pcd)
+    idx = {f: i for i, f in enumerate(fields)}
+    xyz = data[:, [idx["x"], idx["y"], idx["z"]]]
+    if "rgb" in idx and not args.uniform:
+        packed = data[:, idx["rgb"]].view(np.uint32)
+        colors = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                           packed & 0xFF], axis=1) / 255.0
+    else:
+        colors = np.tile(np.array([[0.0, 0.0, 1.0]]), (len(xyz), 1))
+    if len(xyz) > args.max_points:
+        sel = np.random.default_rng(0).choice(len(xyz), args.max_points,
+                                              replace=False)
+        xyz, colors = xyz[sel], colors[sel]
+    fig, axes = plt.subplots(1, 2, figsize=(12, 6))
+    for ax, (a, b), name in zip(axes, [(0, 1), (0, 2)],
+                                ["top-down (x,y)", "side (x,z)"]):
+        ax.scatter(xyz[:, a], xyz[:, b], s=args.point_size, c=colors,
+                   linewidths=0)
+        ax.set_title(name)
+        ax.set_aspect("equal")
+        ax.set_facecolor("white")
+    out = args.out or (Path(args.pcd).stem + ".png")
+    fig.tight_layout()
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    print(f"{len(xyz)} pts -> {out}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dr_using_scv_od_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -402,6 +441,15 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--plot", default=None)
     sp.set_defaults(fn=cmd_features)
+
+    sp = sub.add_parser("view", help="PCD -> PNG snapshot (viewer analog)")
+    sp.add_argument("--pcd", required=True)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--uniform", action="store_true",
+                    help="ignore rgb, paint uniform blue (as the reference)")
+    sp.add_argument("--point-size", type=float, default=2.0)
+    sp.add_argument("--max-points", type=int, default=200_000)
+    sp.set_defaults(fn=cmd_view)
 
     sp = sub.add_parser("intensity-report",
                         help="histogram of recorded intensity dumps")

@@ -150,7 +150,7 @@ def refine_by_intensity_pallas(root_grid: jnp.ndarray, count: jnp.ndarray,
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[
             pl.BlockSpec((AB * R, S_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -36,6 +36,9 @@ class StageTimer:
 
     def __init__(self, log_path: Optional[str | Path] = None):
         self.log_path = Path(log_path) if log_path else None
+        if self.log_path:
+            # the reference fsmkdir's every out dir up front (ssc.cpp:41-50)
+            self.log_path.parent.mkdir(parents=True, exist_ok=True)
         self.rows: List[Dict[str, float]] = []
         self._current: Dict[str, float] = {}
 

@@ -101,3 +101,20 @@ def test_features_cli(tmp_path):
               "--scene", "tiny", "--plot", str(tmp_path / "f.png")])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "planarity" in r.stdout
+
+
+def test_view_cli(tmp_path, rng):
+    """tool/viewer.py analog: colored PCD -> PNG snapshot."""
+    xyz = rng.normal(size=(200, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, size=(200, 3)).astype(np.float32)
+    artifacts.write_colored_pcd(tmp_path / "seg.pcd",
+                                np.concatenate([xyz, rgb], axis=1))
+    out = tmp_path / "seg.png"
+    r = _run(["view", "--pcd", str(tmp_path / "seg.pcd"),
+              "--out", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 0
+    # uniform-color mode (the reference paints [0,0,1])
+    r = _run(["view", "--pcd", str(tmp_path / "seg.pcd"),
+              "--out", str(tmp_path / "u.png"), "--uniform"])
+    assert r.returncode == 0, r.stderr[-2000:]
