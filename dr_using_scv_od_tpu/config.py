@@ -215,6 +215,10 @@ class ShapeConfig:
     max_points: int = 131072      # points per scan after load
     max_clusters: int = 512       # clusters per frame after compaction
     max_track_ids: int = 4096
+    # car-cluster points fed to tracking per frame (compacted before the
+    # dedup sort; cars are a small fraction of a scan, and sorting the
+    # full point set dominated tracking cost on TPU)
+    max_track_points: int = 16384
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,6 +263,7 @@ def tiny_test() -> PipelineConfig:
         grid=GridConfig(min_dis=1.0, max_dis=17.0, range_res=1.0,
                         sector_res=15.0, azimuth_res=10.0,
                         min_azimuth=-40.0, max_azimuth=80.0),
-        shapes=ShapeConfig(max_points=4096, max_clusters=64, max_track_ids=256),
+        shapes=ShapeConfig(max_points=4096, max_clusters=64,
+                           max_track_ids=256, max_track_points=1024),
         patchwork=PatchworkConfig(max_pts_per_patch=256),
     )

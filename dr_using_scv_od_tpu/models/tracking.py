@@ -76,11 +76,24 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     pc_safe = jnp.clip(pc, 0, C - 1)
     pt_car = (pc >= 0) & is_car_row[pc_safe]
 
-    warped = geometry.transform_points(T_np, prev_xyz)
-    _, vflat, in_fov = quantize.quantize(warped, pt_car, cfg.grid)
+    # ---- compact car points into a fixed small budget: only car-cluster
+    # points are judged (ssc.cpp:1255-1275), and they are a small fraction
+    # of a scan - the dedup sort below runs over K slots instead of N
+    # points (the N-sized sort dominated tracking cost on TPU)
+    K = cfg.shapes.max_track_points
+    rank = jnp.cumsum(pt_car.astype(jnp.int32)) - 1
+    slot = jnp.where(pt_car & (rank < K), rank, K)     # K = discard slot
+    cxyz = jnp.zeros((K + 1, 3), prev_xyz.dtype).at[slot].set(prev_xyz)[:K]
+    cpc = jnp.full((K + 1,), -1, jnp.int32).at[slot].set(pc)[:K]
+    ccar = jnp.zeros((K + 1,), bool).at[slot].set(pt_car)[:K]
+    track_overflow = jnp.sum(pt_car) - jnp.sum(ccar)
+
+    warped = geometry.transform_points(T_np, cxyz)
+    _, vflat, in_fov = quantize.quantize(warped, ccar, cfg.grid)
     v_safe = jnp.clip(vflat, 0, G - 1)
     nlab = jnp.where(in_fov, next_grid[v_safe], -1)
     hit = in_fov & (nlab >= 0)
+    pc = cpc
 
     # ---- dedup (prev cluster, voxel) pairs: one sort (ssc.cpp:1320-1321)
     key = jnp.where(hit, pc * G + vflat, _INT_MAX)
@@ -152,7 +165,7 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
         nvox_plain = next_table.n_voxels
         return (prev_table, next_table, next_grid, counter,
                 jnp.sum(verdict_dyn).astype(jnp.int32),
-                jnp.zeros((), jnp.int32))
+                track_overflow.astype(jnp.int32))
 
     # ---- apply split: carve hit voxels of lstar into the new row
     # (ssc.cpp:1355-1374); conflicts resolve to the min new row
@@ -207,7 +220,7 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
         valid=valid_next, type=type_next, track_id=tid_next, n_voxels=nvox)
     n_dyn = jnp.sum(verdict_dyn).astype(jnp.int32)
     return (prev_table, next_table_mut, next_grid_mut, counter, n_dyn,
-            overflow.astype(jnp.int32))
+            (overflow + track_overflow).astype(jnp.int32))
 
 
 def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,

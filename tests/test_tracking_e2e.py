@@ -70,3 +70,23 @@ def test_track_ids_assigned(window_result):
     tids = np.asarray(tables.track_id)
     car = valid[:-1] & (types[:-1] == 2)
     assert np.all(tids[:-1][car] >= 0)
+
+
+def test_track_point_budget_overflow_reported():
+    """Tracking compacts car points to shapes.max_track_points; when the
+    budget is insufficient the overflow counter must say so (silent
+    truncation would corrupt metrics - SURVEY.md section 7.3)."""
+    import dataclasses
+    cfg = config.tiny_test()
+    cfg = dataclasses.replace(
+        cfg, shapes=dataclasses.replace(cfg.shapes, max_track_points=4))
+    spec = synthetic.SceneSpec(ground_pts=1200, building_pts=200,
+                               tree_pts=80, car_pts=120, n_buildings=2,
+                               n_trees=2, n_parked_cars=2, n_moving_cars=1,
+                               extent=14.0)
+    scene = synthetic.make_scene(spec)
+    win = synthetic.render_window(scene, 3, cfg.shapes.max_points)
+    res = pipeline.run_window(
+        jnp.asarray(win["xyz"]), jnp.asarray(win["intensity"]),
+        jnp.asarray(win["valid"]), jnp.asarray(win["poses"]), cfg)
+    assert int(res.new_row_overflow) > 0
