@@ -1,6 +1,8 @@
 """Benchmark: full dynamic-removal pipeline throughput, ms per frame.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} on stdout.
+Everything else (per-stage device timings, odometry throughput, roofline
+estimates) goes to stderr.
 
 Baseline: the reference C++ pipeline logs 213.67 ms/frame on SemanticKITTI
 seq 00 (doc/note.txt:2, 8-core desktop CPU; BASELINE.md). The dataset is
@@ -9,6 +11,15 @@ comparable size (~75k raw points -> ~130k cap) through the identical
 pipeline stages (ground seg + curved-voxel build + clustering + RI3 +
 recognition + tracking pair). vs_baseline = reference_ms / our_ms
 (higher is better).
+
+Measurement discipline: repetitions run INSIDE one jit (a production
+pipeline streams scans with data resident on device), and every rep's
+input depends on the previous rep's OUTPUT (a 1e-30-scaled carry term), so
+XLA's loop-invariant code motion cannot hoist the body out of the loop -
+each rep genuinely recomputes the pipeline. Per-call tunnel dispatch
+overhead (~1 s of host<->device transfer per call on the axon relay) is
+excluded by construction. NB: on this platform block_until_ready does not
+synchronize - only a host fetch does.
 """
 
 import json
@@ -16,6 +27,59 @@ import sys
 import time
 
 import numpy as np
+
+REPS = 3
+BASELINE_MS = 213.67  # doc/note.txt:2 (seq 00, full method)
+
+# peak specs per TPU generation for roofline estimates (public numbers;
+# bf16 peak TFLOP/s, HBM TB/s). Unknown kinds fall back to None -> no MFU.
+_PEAKS = {
+    "TPU v4": (275.0, 1.2),
+    "TPU v5e": (197.0, 0.82),
+    "TPU v5p": (459.0, 2.77),
+    "TPU v6e": (918.0, 1.64),
+}
+
+
+def _loop(fn, n, *args):
+    """Build a jitted n-rep loop of fn whose body is NOT loop-invariant:
+    each rep's first input is perturbed by 1e-30 * (previous output sum),
+    far below f32 resolution of the coordinates yet opaque to XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(*a):
+        def body(_, acc):
+            out = fn(a[0] + 1e-30 * acc, *a[1:])
+            leaves = [jnp.sum(x.astype(jnp.float32)) for x in
+                      jax.tree.leaves(out) if jnp.issubdtype(
+                          jnp.asarray(x).dtype, jnp.number)]
+            # the carry GENUINELY depends on the output (scaled so the
+            # perturbation stays ~1e-40, far below f32 input resolution)
+            return acc + 1.0 + 1e-20 * jnp.sum(jnp.stack(leaves))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    return jax.jit(run)
+
+
+def _time(jfn, *args):
+    """Compile, warm, then time one call (host fetch = sync)."""
+    np.asarray(jfn(*args))
+    t0 = time.perf_counter()
+    np.asarray(jfn(*args))
+    return time.perf_counter() - t0
+
+
+def _cost(jfn, *args):
+    """XLA cost analysis (flops, bytes) of the compiled rep loop."""
+    try:
+        c = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c.get("flops", 0.0)), \
+            float(c.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
 
 
 def main():
@@ -27,7 +91,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     from dr_using_scv_od_tpu import config
-    from dr_using_scv_od_tpu.models import pipeline
+    from dr_using_scv_od_tpu.models import odometry, pipeline
     from dr_using_scv_od_tpu.utils import synthetic
 
     cfg = config.semantickitti()
@@ -39,33 +103,90 @@ def main():
     valid = jnp.asarray(win["valid"])
     poses = jnp.asarray(win["poses"])
 
-    # Measure steady-state device throughput: repetitions run INSIDE one
-    # jit (a production pipeline streams scans with data resident on
-    # device). Per-call tunnel dispatch overhead (~1 s of host<->device
-    # transfer per call on the axon relay) is excluded by construction.
-    # NB: on this platform block_until_ready does not synchronize - only a
-    # host fetch does.
-    reps = 3
+    err = lambda *a: print(*a, file=sys.stderr)
 
-    @jax.jit
-    def run_reps(xyz, inten, valid, poses):
-        def body(i, acc):
-            res = pipeline.run_window(xyz, inten, valid, poses, cfg)
-            return acc + jnp.sum(res.n_dynamic) + i * 0
-        return jax.lax.fori_loop(0, reps, body, 0)
+    # ---- headline: full removal pipeline, ms/frame
+    run = _loop(lambda x, i, v, p: pipeline.run_window(x, i, v, p, cfg),
+                REPS, xyz, inten, valid, poses)
+    dt = _time(run, xyz, inten, valid, poses)
+    ms_per_frame = dt / REPS / F * 1000.0
 
-    np.asarray(run_reps(xyz, inten, valid, poses))   # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(run_reps(xyz, inten, valid, poses))
-    dt = (time.perf_counter() - t0) / reps
-    ms_per_frame = dt / F * 1000.0
+    # ---- roofline estimate from XLA's own cost model
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    flops, bytes_acc = _cost(run, xyz, inten, valid, poses)
+    if flops:
+        tflops = flops / dt / 1e12
+        tbps = bytes_acc / dt / 1e12
+        line = (f"[roofline] device={kind}  achieved {tflops:.2f} TFLOP/s, "
+                f"{tbps:.3f} TB/s (XLA cost model)")
+        peaks = next((v for k, v in _PEAKS.items() if k in str(kind)), None)
+        if peaks:
+            line += (f"  -> MFU {100 * tflops / peaks[0]:.2f}%, "
+                     f"HBM util {100 * tbps / peaks[1]:.1f}%")
+        err(line)
 
-    baseline_ms = 213.67  # doc/note.txt:2 (seq 00, full method)
+    # ---- per-stage device timings (each stage timed as its own rep loop)
+    try:
+        from dr_using_scv_od_tpu.models import (patchwork, recognition,
+                                                segmentation, tracking)
+
+        x0, i0, v0, p0 = xyz[0], inten[0], valid[0], poses[0]
+        t_pw = _time(_loop(
+            lambda x, v: patchwork.estimate_ground(x, v, cfg.patchwork),
+            REPS, x0, v0), x0, v0) / REPS
+
+        pw = jax.jit(lambda x, v: patchwork.estimate_ground(
+            x, v, cfg.patchwork))(x0, v0)
+        t_seg = _time(_loop(
+            lambda x, i, ng, g, d: segmentation.segment_frame(
+                x, i, ng, g, d, cfg),
+            REPS, x0, i0, pw.nonground, pw.ground, pw.dropped),
+            x0, i0, pw.nonground, pw.ground, pw.dropped) / REPS
+
+        seg, point_voxel, _ = jax.jit(
+            lambda x, i, ng, g, d: segmentation.segment_frame(
+                x, i, ng, g, d, cfg))(x0, i0, pw.nonground, pw.ground,
+                                      pw.dropped)
+        t_rec = _time(_loop(
+            lambda x, pc, pv: recognition.recognize(
+                seg.clusters, x, pc, pv, cfg),
+            REPS, x0, seg.point_cluster, point_voxel),
+            x0, seg.point_cluster, point_voxel) / REPS
+
+        frames = jax.jit(lambda *a: pipeline.process_window(*a, cfg))(
+            xyz, inten, valid, poses)
+        in_grid = frames.state.point_voxel >= 0
+        t_trk = _time(_loop(
+            lambda x, pv, pva, lg, po: tracking.track_window(
+                x, pv, pva, lg, frames.state.clusters, po, cfg),
+            REPS, xyz, frames.state.point_voxel, in_grid & valid,
+            frames.state.label_grid, poses),
+            xyz, frames.state.point_voxel, in_grid & valid,
+            frames.state.label_grid, poses) / REPS / F
+
+        err(f"[stages ms/frame] patchwork={t_pw * 1e3:.2f}  "
+            f"segment={t_seg * 1e3:.2f}  recognize={t_rec * 1e3:.2f}  "
+            f"tracking={t_trk * 1e3:.2f}  "
+            f"(sum={(t_pw + t_seg + t_rec + t_trk) * 1e3:.2f}, "
+            f"e2e={ms_per_frame:.2f})")
+    except Exception as e:  # stage breakdown must never kill the bench
+        err(f"[stages] breakdown failed: {type(e).__name__}: {e}")
+
+    # ---- secondary metric: GICP scan-to-scan odometry throughput
+    try:
+        t_odo = _time(_loop(
+            lambda x, v: odometry.estimate_window_poses(x, v, cfg),
+            REPS, xyz, valid), xyz, valid) / REPS / (F - 1)
+        err(f"[odometry] {t_odo * 1e3:.2f} ms/frame (scan-to-scan GICP)")
+    except Exception as e:
+        err(f"[odometry] failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "dynamic_removal_ms_per_frame",
         "value": round(ms_per_frame, 3),
         "unit": "ms/frame",
-        "vs_baseline": round(baseline_ms / ms_per_frame, 3),
+        "vs_baseline": round(BASELINE_MS / ms_per_frame, 3),
     }))
 
 

@@ -326,7 +326,8 @@ def cmd_view(args):
     idx = {f: i for i, f in enumerate(fields)}
     xyz = data[:, [idx["x"], idx["y"], idx["z"]]]
     if "rgb" in idx and not args.uniform:
-        packed = data[:, idx["rgb"]].view(np.uint32)
+        # contiguous copy: numpy < 1.23 rejects dtype views of strided cols
+        packed = np.ascontiguousarray(data[:, idx["rgb"]]).view(np.uint32)
         colors = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
                            packed & 0xFF], axis=1) / 255.0
     else:

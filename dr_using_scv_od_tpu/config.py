@@ -89,10 +89,10 @@ class PatchworkConfig:
     num_rings_each_zone: Tuple[int, ...] = (2, 4, 4, 4)
     elevation_thr: Tuple[float, ...] = (-1.2, -0.9984, -0.851, -0.605)
     flatness_thr: Tuple[float, ...] = (0.0, 0.000125, 0.000185, 0.000185)
-    # Static-shape cap of points per patch (reference reserves
-    # NUM_HEURISTIC_MAX_PTS_IN_PATCH=5000, patchwork.h:13). Overflow beyond
-    # the cap is counted and surfaced, never silently ignored.
-    max_pts_per_patch: int = 2048
+    # NB: no per-patch point cap. The reference reserves
+    # NUM_HEURISTIC_MAX_PTS_IN_PATCH=5000 (patchwork.h:13) for its per-patch
+    # point lists; the sort-free formulation (models/patchwork.py) works in
+    # segment reductions keyed by patch id, so no cap is needed.
 
     @property
     def num_rings_of_interest(self) -> int:
@@ -156,9 +156,10 @@ class RecognitionConfig:
 
     max_z: float = 0.8
     min_z: float = -1.2
-    car_angle: float = 120.0
-    car_height: float = 2.0
     car_square: float = 30.0
+    # NB: the reference also declares car_angle_/car_height_ params
+    # (utility.h:296-297) but never reads them anywhere in the pipeline;
+    # the YAML loader (config_yaml.py) accepts and ignores those keys.
     building_label: int = 0
     tree_label: int = 1
     car_label: int = 2
@@ -202,8 +203,12 @@ class GicpConfig:
     # Covariance regularisation: eigenvalues scaled to (1, 1, eps) as in GICP
     plane_eps: float = 1e-3
     max_corr_dist: float = 2.0
-    # static-shape cap of occupied target voxels kept for correspondence
-    max_target_voxels: int = 65536
+    # World bounds of the dense Cartesian voxel grid (sensor/map frame).
+    # Points outside are COUNTED (VoxelMap.n_oob / GicpResult.n_oob), never
+    # silently dropped. Defaults cover a KITTI scan (+margin for map drift).
+    xy_extent: float = 80.0   # grid spans [-xy_extent, +xy_extent) in x, y
+    z_min: float = -12.0
+    z_max: float = 28.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,7 +219,6 @@ class ShapeConfig:
 
     max_points: int = 131072      # points per scan after load
     max_clusters: int = 512       # clusters per frame after compaction
-    max_track_ids: int = 4096
     # car-cluster points fed to tracking per frame (compacted before the
     # dedup sort; cars are a small fraction of a scan, and sorting the
     # full point set dominated tracking cost on TPU)
@@ -264,6 +268,6 @@ def tiny_test() -> PipelineConfig:
                         sector_res=15.0, azimuth_res=10.0,
                         min_azimuth=-40.0, max_azimuth=80.0),
         shapes=ShapeConfig(max_points=4096, max_clusters=64,
-                           max_track_ids=256, max_track_points=1024),
-        patchwork=PatchworkConfig(max_pts_per_patch=256),
+                           max_track_points=1024),
+        gicp=GicpConfig(xy_extent=40.0),
     )

@@ -32,8 +32,6 @@ _REF_KEYS = {
     "refine_height_": ("seg", "refine_height"),
     "max_z_": ("recog", "max_z"),
     "min_z_": ("recog", "min_z"),
-    "car_angle_": ("recog", "car_angle"),
-    "car_height_": ("recog", "car_height"),
     "car_square_": ("recog", "car_square"),
     "iteration_": ("seg", "iteration"),
     "toBeClass_": ("seg", "to_be_class"),
@@ -45,6 +43,10 @@ _REF_KEYS = {
     "skip_": (None, "skip"),
     "dynamic_label_": (None, "dynamic_labels"),
 }
+
+# Reference keys accepted for drop-in compatibility but ignored: the
+# reference declares them (utility.h:296-297) and never reads them either.
+_IGNORED_REF_KEYS = frozenset({"car_angle_", "car_height_"})
 
 
 def load(path: str | Path,

@@ -8,8 +8,8 @@ because this framework keeps exact point identity end-to-end, the
 correspondence is exact (every kept point IS a ground-truth point), which
 equals the kd-NN metric at inlier threshold -> 0.
 
-A tiled brute-force NN (ops/pallas/nn_search.py) backs the artifact-level
-variant for parity runs against externally produced maps.
+An MXU-tiled brute-force NN (eval/artifact.py:nn_distances) backs the
+artifact-level variant for parity runs against externally produced maps.
 """
 
 from __future__ import annotations

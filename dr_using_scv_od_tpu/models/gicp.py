@@ -38,10 +38,14 @@ class VoxelMap(NamedTuple):
     n: jnp.ndarray      # [G]
     sum_x: jnp.ndarray  # [G,3]
     sum_xx: jnp.ndarray  # [G,6]  (xx,yy,zz,xy,xz,yz)
+    n_oob: jnp.ndarray  # scalar int32 - valid points outside the grid
+    #                     bounds (cfg.xy_extent / z_min / z_max); counted,
+    #                     never silently dropped
 
     def merge(self, other: "VoxelMap") -> "VoxelMap":
         return VoxelMap(self.n + other.n, self.sum_x + other.sum_x,
-                        self.sum_xx + other.sum_xx)
+                        self.sum_xx + other.sum_xx,
+                        self.n_oob + other.n_oob)
 
 
 class GicpTarget(NamedTuple):
@@ -57,20 +61,25 @@ class GicpResult(NamedTuple):
     final_error: jnp.ndarray  # mean Mahalanobis cost (weighted)
     n_corr: jnp.ndarray     # int32 correspondences at convergence
     rmse: jnp.ndarray       # Euclidean RMS residual of inliers (metres)
+    n_oob: jnp.ndarray      # int32 valid source points outside the grid
+    #                         bounds at the final iterate
 
 
 def _grid_dims(cfg: GicpConfig):
-    nxy = int(2 * 80.0 / cfg.voxel_size)
-    nz = int(40.0 / cfg.voxel_size)
+    nxy = int(2 * cfg.xy_extent / cfg.voxel_size)
+    nz = int((cfg.z_max - cfg.z_min) / cfg.voxel_size)
     return nxy, nz
 
 
 def voxel_index(xyz: jnp.ndarray, valid: jnp.ndarray, cfg: GicpConfig):
     """Flat Cartesian voxel id; -1 for out-of-bound/invalid."""
     nxy, nz = _grid_dims(cfg)
-    ix = jnp.floor((xyz[:, 0] + 80.0) / cfg.voxel_size).astype(jnp.int32)
-    iy = jnp.floor((xyz[:, 1] + 80.0) / cfg.voxel_size).astype(jnp.int32)
-    iz = jnp.floor((xyz[:, 2] + 12.0) / cfg.voxel_size).astype(jnp.int32)
+    ix = jnp.floor((xyz[:, 0] + cfg.xy_extent)
+                   / cfg.voxel_size).astype(jnp.int32)
+    iy = jnp.floor((xyz[:, 1] + cfg.xy_extent)
+                   / cfg.voxel_size).astype(jnp.int32)
+    iz = jnp.floor((xyz[:, 2] - cfg.z_min)
+                   / cfg.voxel_size).astype(jnp.int32)
     ok = (valid & (ix >= 0) & (ix < nxy) & (iy >= 0) & (iy < nxy)
           & (iz >= 0) & (iz < nz))
     flat = (ix * nxy + iy) * nz + iz
@@ -95,7 +104,8 @@ def build_voxel_map(xyz: jnp.ndarray, valid: jnp.ndarray,
     sum_x = jnp.stack([ssum(x), ssum(y), ssum(z)], axis=-1)
     sum_xx = jnp.stack([ssum(x * x), ssum(y * y), ssum(z * z),
                         ssum(x * y), ssum(x * z), ssum(y * z)], axis=-1)
-    return VoxelMap(n=n, sum_x=sum_x, sum_xx=sum_xx)
+    n_oob = jnp.sum(valid & ~ok).astype(jnp.int32)
+    return VoxelMap(n=n, sum_x=sum_x, sum_xx=sum_xx, n_oob=n_oob)
 
 
 def finalize_target(vm: VoxelMap, cfg: GicpConfig) -> GicpTarget:
@@ -211,8 +221,13 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
             jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf),
             jnp.asarray(jnp.inf))
     T, it, err, ncorr, rmse, _ = jax.lax.while_loop(cond, step, init)
+    # out-of-bounds accounting at the final iterate (valid source points
+    # the grid could not see - surfaced, not silently dropped)
+    _, ok_final = voxel_index(geometry.transform_points(T, source_xyz),
+                              source_valid, cfg)
+    n_oob = jnp.sum(source_valid & ~ok_final).astype(jnp.int32)
     return GicpResult(T=T, n_iters=it, final_error=err, n_corr=ncorr,
-                      rmse=rmse)
+                      rmse=rmse, n_oob=n_oob)
 
 
 def scan_to_scan(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,

@@ -31,7 +31,10 @@ class LoopConfig:
     radius: float = 10.0        # candidate search radius (m)
     min_gap: int = 10           # minimum frame separation
     max_candidates: int = 8     # static K
-    min_corr: int = 2000        # verification: correspondences needed
+    # verification: fraction of the source scan's valid points that must
+    # find correspondences (scales from dense KITTI scans down to tiny
+    # test scenes, unlike an absolute count)
+    min_corr_frac: float = 0.25
     # Euclidean RMS bound: aligned scans against 1 m voxel Gaussians
     # still show ~0.45 m of discretization residual; misaligned pairs
     # jump past 0.8 m or lose correspondences entirely
@@ -77,7 +80,8 @@ def detect(xyz: jnp.ndarray, valid: jnp.ndarray, poses: jnp.ndarray,
         res = gicp.scan_to_scan(xyz[j_s], valid[j_s] & use,
                                 xyz[i_s], valid[i_s] & use,
                                 cfg.gicp, T_init=T_init)
-        good = use & (res.n_corr >= lc.min_corr) \
+        min_corr = lc.min_corr_frac * jnp.sum(valid[j_s])
+        good = use & (res.n_corr >= min_corr) \
             & (res.rmse < lc.max_rmse)
         return res.T, jnp.where(good, lc.edge_weight, 0.0)
 

@@ -42,10 +42,12 @@ from ..ops import plane as plane_ops
 
 
 class PatchworkResult(NamedTuple):
+    """No overflow counter: the sort-free formulation below has no
+    per-patch point cap, so truncation is impossible by construction
+    (every point participates in its patch's segment reductions)."""
     ground: jnp.ndarray      # [N] bool - accepted ground points
     nonground: jnp.ndarray   # [N] bool - rejected / non-ground points
     dropped: jnp.ndarray     # [N] bool - never reached either output
-    patch_overflow: jnp.ndarray  # scalar int32 - points beyond K cap
     # diagnostics (per patch)
     patch_normal: jnp.ndarray    # [P,3]
     patch_mean_z: jnp.ndarray    # [P]
@@ -212,7 +214,6 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     dropped = valid & ~ground & ~nonground
     return PatchworkResult(ground=ground, nonground=nonground,
                            dropped=dropped,
-                           patch_overflow=jnp.zeros((), jnp.int32),
                            patch_normal=normal, patch_mean_z=elevation)
 
 

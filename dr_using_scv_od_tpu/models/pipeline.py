@@ -26,7 +26,6 @@ class FrameOutput(NamedTuple):
     features: recognition.Features
     n_clusters: jnp.ndarray
     overflow_points: jnp.ndarray
-    patch_overflow: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -59,8 +58,7 @@ def process_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     )
     return FrameOutput(state=state, features=feats,
                        n_clusters=seg.n_clusters,
-                       overflow_points=seg.overflow_points,
-                       patch_overflow=pw.patch_overflow)
+                       overflow_points=seg.overflow_points)
 
 
 def process_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
@@ -86,7 +84,8 @@ class WindowResult(NamedTuple):
     point_cluster: jnp.ndarray     # [F, N] final cluster per point
     removed: jnp.ndarray           # [F, N] bool - judged dynamic, removed
     n_dynamic: jnp.ndarray         # [F] per-pair dynamic verdicts
-    new_row_overflow: jnp.ndarray
+    new_row_overflow: jnp.ndarray      # ran out of cluster rows
+    track_point_overflow: jnp.ndarray  # points past max_track_points
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "bbox_dropped_dynamic"))
@@ -125,4 +124,5 @@ def run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
     return WindowResult(frames=frames, tables=tr.tables,
                         label_grids=tr.label_grids, point_cluster=pc,
                         removed=removed, n_dynamic=tr.n_dynamic,
-                        new_row_overflow=tr.new_row_overflow)
+                        new_row_overflow=tr.new_row_overflow,
+                        track_point_overflow=tr.track_point_overflow)

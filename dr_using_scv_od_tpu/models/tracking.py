@@ -47,7 +47,10 @@ class TrackingResult(NamedTuple):
     tables: ClusterTable       # [F, C] finalized (states, track ids, merges)
     label_grids: jnp.ndarray   # [F, G] mutated label grids
     n_dynamic: jnp.ndarray     # [F] int32 dynamic verdicts per pair
-    new_row_overflow: jnp.ndarray  # scalar int32
+    new_row_overflow: jnp.ndarray    # scalar int32 - ran out of cluster rows
+    track_point_overflow: jnp.ndarray  # scalar int32 - points past the
+    #                                    max_track_points budget (distinct
+    #                                    remediation: raise max_track_points)
 
 
 def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
@@ -95,6 +98,12 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     hit = in_fov & (nlab >= 0)
     pc = cpc
 
+    # a cluster whose points ALL fell past the K budget must stay unjudged
+    # (letting it fall into the n_labels==0 branch would wrongly mark it
+    # dynamic - the reference judges every car cluster with all its points)
+    has_budgeted_pt = jnp.zeros((C,), bool).at[
+        jnp.clip(cpc, 0, C - 1)].max(ccar & (cpc >= 0))
+
     # ---- dedup (prev cluster, voxel) pairs: one sort (ssc.cpp:1320-1321)
     key = jnp.where(hit, pc * G + vflat, _INT_MAX)
     order = jnp.argsort(key)
@@ -121,7 +130,9 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     lstar_is_car = next_table.type[lstar_safe] == TYPE_CAR
 
     occ = cfg.track.occupancy
-    active = is_car_row                           # only car clusters judged
+    # only car clusters WITH at least one surviving budgeted point are
+    # judged; budget-truncated clusters keep their prior state
+    active = is_car_row & has_budgeted_pt
 
     # verdict lattice (ssc.cpp:1323-1421)
     verdict_dyn = active & ((n_labels == 0)
@@ -162,9 +173,9 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
 
     if not cfg.track.enable_compensation:
         # "-TC" ablation: verdicts only, no next-frame mutations
-        nvox_plain = next_table.n_voxels
         return (prev_table, next_table, next_grid, counter,
                 jnp.sum(verdict_dyn).astype(jnp.int32),
+                jnp.zeros((), jnp.int32),
                 track_overflow.astype(jnp.int32))
 
     # ---- apply split: carve hit voxels of lstar into the new row
@@ -220,7 +231,7 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
         valid=valid_next, type=type_next, track_id=tid_next, n_voxels=nvox)
     n_dyn = jnp.sum(verdict_dyn).astype(jnp.int32)
     return (prev_table, next_table_mut, next_grid_mut, counter, n_dyn,
-            (overflow + track_overflow).astype(jnp.int32))
+            overflow.astype(jnp.int32), track_overflow.astype(jnp.int32))
 
 
 def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
@@ -241,20 +252,22 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
             tree)
 
     def step(carry, t):
-        cur_table, cur_grid, counter, ovf = carry
+        cur_table, cur_grid, counter, ovf, tovf = carry
         nxt_table = at(tables, t + 1)
         nxt_grid = label_grids[t + 1]
         T_np = geometry.inverse_se3(poses[t + 1]) @ poses[t]
-        (prev_fin, nxt_mut, nxt_grid_mut, counter, n_dyn, o) = _pair_step(
-            cur_table, cur_grid, nxt_table, nxt_grid,
-            xyz[t], point_voxel[t], point_valid[t],
-            T_np, counter, cfg)
-        return ((nxt_mut, nxt_grid_mut, counter, ovf + o),
+        (prev_fin, nxt_mut, nxt_grid_mut, counter, n_dyn, o, to) = \
+            _pair_step(
+                cur_table, cur_grid, nxt_table, nxt_grid,
+                xyz[t], point_voxel[t], point_valid[t],
+                T_np, counter, cfg)
+        return ((nxt_mut, nxt_grid_mut, counter, ovf + o, tovf + to),
                 (prev_fin, cur_grid, n_dyn))
 
     init = (at(tables, 0), label_grids[0], jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int32))
-    (last_table, last_grid, _, overflow), (fin_tables, fin_grids, n_dyn) = \
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    ((last_table, last_grid, _, overflow, track_overflow),
+     (fin_tables, fin_grids, n_dyn)) = \
         jax.lax.scan(step, init, jnp.arange(F - 1))
 
     # append the final frame (its clusters get no verdicts - same as the
@@ -265,4 +278,5 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
     all_grids = jnp.concatenate([fin_grids, last_grid[None]], axis=0)
     n_dyn = jnp.concatenate([n_dyn, jnp.zeros((1,), jnp.int32)])
     return TrackingResult(tables=all_tables, label_grids=all_grids,
-                          n_dynamic=n_dyn, new_row_overflow=overflow)
+                          n_dynamic=n_dyn, new_row_overflow=overflow,
+                          track_point_overflow=track_overflow)

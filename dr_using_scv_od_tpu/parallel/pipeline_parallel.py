@@ -50,9 +50,9 @@ class PPBuffer(NamedTuple):
     point_voxel: jnp.ndarray    # [N] i32    (stage: segment)
     point_cluster: jnp.ndarray  # [N] i32
     label_grid: jnp.ndarray     # [G] i32
-    grid_count: jnp.ndarray     # [G] i32
-    grid_imean: jnp.ndarray     # [G] f32
-    grid_ivar: jnp.ndarray      # [G] f32
+    # NB: per-voxel intensity stats (VoxelGrid count/mean/var) are consumed
+    # INSIDE the segment stage and collected by no downstream stage, so they
+    # deliberately do not ride the ppermute handoff (dead ICI traffic).
     table: ClusterTable         # [C] rows
     feats: Features             # [C] slots  (stage: recognize)
     n_clusters: jnp.ndarray     # scalar i32
@@ -75,8 +75,7 @@ def _zeros_buffer(cfg: PipelineConfig) -> PPBuffer:
     return PPBuffer(xyz=f32((N, 3)), intensity=f32((N,)), valid=b((N,)),
                     nonground=b((N,)), ground=b((N,)), dropped=b((N,)),
                     point_voxel=i32((N,)), point_cluster=i32((N,)),
-                    label_grid=i32((G,)), grid_count=i32((G,)),
-                    grid_imean=f32((G,)), grid_ivar=f32((G,)),
+                    label_grid=i32((G,)),
                     table=table, feats=feats, n_clusters=i32(()))
 
 
@@ -87,14 +86,11 @@ def _stage_ground(buf: PPBuffer, cfg: PipelineConfig) -> PPBuffer:
 
 
 def _stage_segment(buf: PPBuffer, cfg: PipelineConfig) -> PPBuffer:
-    seg, point_voxel, grid = segmentation.segment_frame(
+    seg, point_voxel, _grid = segmentation.segment_frame(
         buf.xyz, buf.intensity, buf.nonground, buf.ground, buf.dropped, cfg)
     return buf._replace(point_voxel=point_voxel,
                         point_cluster=seg.point_cluster,
                         label_grid=seg.label_grid,
-                        grid_count=grid.count,
-                        grid_imean=grid.intensity_mean,
-                        grid_ivar=grid.intensity_var,
                         table=seg.clusters, n_clusters=seg.n_clusters)
 
 

@@ -28,7 +28,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import PipelineConfig
 from ..models import pipeline as pipeline_mod
@@ -112,8 +112,6 @@ def sharded_run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
     Returns (removed [F,N] bool, states [F,C] int32, n_dynamic [F] int32),
     all sharded along the frame axis.
     """
-    fs = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
     fn = jax.shard_map(
         functools.partial(_block_fn, cfg=cfg, axis=axis),
         mesh=mesh,

@@ -3,8 +3,9 @@
 The reference has no in-process checkpointing; its per-frame PCD artifact
 chain is the implicit restart point (SURVEY.md section 5). Here the
 pipeline state (poses, voxel-map sums, cluster tables, track-id counter)
-checkpoints explicitly - orbax when available, .npz fallback - so windows
-resume mid-sequence after preemption.
+checkpoints explicitly as flat .npz archives - single-host, synchronous,
+dependency-free; the SLAM engine (models/engine.py) writes one at a
+configurable frame interval and `--resume` restores it.
 """
 
 from __future__ import annotations
@@ -14,12 +15,6 @@ from typing import Any, Dict
 
 import jax
 import numpy as np
-
-try:  # orbax is in the image, but keep the fallback for portability
-    import orbax.checkpoint as ocp
-    _HAS_ORBAX = True
-except Exception:  # pragma: no cover
-    _HAS_ORBAX = False
 
 
 def save(path: str | Path, state: Dict[str, Any]) -> None:

@@ -37,8 +37,7 @@ def test_loop_detected_and_closes(rng):
                               jnp.asarray(win["valid"]),
                               jnp.asarray(est), cfg,
                               loop_closure.LoopConfig(min_gap=10,
-                                                      radius=4.0,
-                                                      min_corr=1500))
+                                                      radius=4.0))
     assert int(res.n_accepted) >= 1, "no loop closure found"
     w = np.asarray(res.edge_w)
     ei = np.asarray(res.edge_i)[w > 0]

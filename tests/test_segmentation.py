@@ -32,7 +32,6 @@ def frame_out():
 def test_no_overflow(frame_out):
     _, out, _ = frame_out
     assert int(out.overflow_points) == 0
-    assert int(out.patch_overflow) == 0
 
 
 def test_cluster_count_reasonable(frame_out):

@@ -89,4 +89,15 @@ def test_track_point_budget_overflow_reported():
     res = pipeline.run_window(
         jnp.asarray(win["xyz"]), jnp.asarray(win["intensity"]),
         jnp.asarray(win["valid"]), jnp.asarray(win["poses"]), cfg)
-    assert int(res.new_row_overflow) > 0
+    assert int(res.track_point_overflow) > 0
+    # truncated clusters must be UNJUDGED, not judged on partial evidence:
+    # with a 4-point budget nearly every car cluster loses all its points,
+    # and those clusters must not fall into the n_labels==0 dynamic branch
+    states = np.asarray(res.tables.state)
+    valid = np.asarray(res.tables.valid)
+    types = np.asarray(res.tables.type)
+    car_rows = valid[:-1] & (types[:-1] == 2)
+    n_dynamic = int(((states[:-1] == 1) & car_rows).sum())
+    assert n_dynamic <= 1, (
+        f"budget truncation produced {n_dynamic} dynamic verdicts - "
+        "truncated clusters leaked into the n_labels==0 branch")
