@@ -185,6 +185,15 @@ class TrackingConfig:
     # split/merge mutation of the next frame (doc/note.txt ablations;
     # the "-TC"-less variant keeps verdicts but skips mutations).
     enable_compensation: bool = True
+    # Dynamic-footprint sweep (extension beyond the reference): after the
+    # verdict lattice, any point inside the inflated bbox of a cluster
+    # judged DYNAMIC is also removed. Catches the dynamic points that never
+    # reach the lattice - car-bottom returns misrouted to ground by
+    # patchwork, points past the curved grid's max range (the reference
+    # bypasses both to its static set, src/ssc.cpp:161-172), and points of
+    # bbox-filter-dropped fragments of the same object.
+    dynamic_bbox_sweep: bool = True
+    sweep_margin: float = 0.3  # bbox inflation (metres)
 
 
 @dataclasses.dataclass(frozen=True)

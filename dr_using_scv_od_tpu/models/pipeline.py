@@ -77,6 +77,39 @@ def process_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
     return jax.lax.map(lambda a: fn(*a), (xyz, intensity, valid, poses))
 
 
+def _dynamic_bbox_sweep(xyz: jnp.ndarray, tables, cfg: PipelineConfig
+                        ) -> jnp.ndarray:
+    """[F,N] bool: point lies inside the inflated bbox of a same-frame
+    cluster judged DYNAMIC. Extension beyond the reference (see
+    TrackingConfig.dynamic_bbox_sweep): reclaims the dynamic returns that
+    never reach the verdict lattice (ground-routed car bottoms,
+    out-of-grid-range points, bbox-dropped fragments).
+
+    Chunked over cluster rows so the [F, N, chunk] broadcast stays small.
+    """
+    from ..types import STATE_DYNAMIC
+    F, N, _ = xyz.shape
+    C = tables.valid.shape[1]
+    m = cfg.track.sweep_margin
+    dyn = tables.valid & (tables.state == STATE_DYNAMIC)       # [F,C]
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    lo = jnp.where(dyn[..., None], tables.bbox_min - m, big)   # [F,C,3]
+    hi = jnp.where(dyn[..., None], tables.bbox_max + m, -big)
+
+    chunk = min(64, C)
+    n_chunks = (C + chunk - 1) // chunk
+
+    def body(k, acc):
+        l = jax.lax.dynamic_slice_in_dim(lo, k * chunk, chunk, axis=1)
+        h = jax.lax.dynamic_slice_in_dim(hi, k * chunk, chunk, axis=1)
+        inside = jnp.all((xyz[:, :, None, :] >= l[:, None, :, :])
+                         & (xyz[:, :, None, :] <= h[:, None, :, :]), -1)
+        return acc | jnp.any(inside, axis=2)
+
+    return jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros((F, N), bool))
+
+
 class WindowResult(NamedTuple):
     frames: FrameOutput            # stacked per-frame outputs (pre-tracking)
     tables: jnp.ndarray            # finalized ClusterTable [F, C]
@@ -119,6 +152,8 @@ def run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
     removed = (pc >= 0) & (state == 1)
     if bbox_dropped_dynamic:
         removed = removed | (frames.state.point_route == ROUTE_BBOX_DYNAMIC)
+    if cfg.track.dynamic_bbox_sweep:
+        removed = removed | _dynamic_bbox_sweep(xyz, tr.tables, cfg)
     removed = removed & valid
 
     return WindowResult(frames=frames, tables=tr.tables,

@@ -98,7 +98,11 @@ def _block_fn(xyz, intensity, valid, poses, cfg: PipelineConfig,
     pc = jnp.take_along_axis(grids, pv_safe, axis=1)
     pc = jnp.where(pt_valid, pc, -1)
     st = jnp.take_along_axis(tables.state, jnp.clip(pc, 0, C - 1), axis=1)
-    removed = (pc >= 0) & (st == 1) & valid
+    removed = (pc >= 0) & (st == 1)
+    if cfg.track.dynamic_bbox_sweep:
+        removed = removed | pipeline_mod._dynamic_bbox_sweep(
+            xyz, tables, cfg)
+    removed = removed & valid
     return removed, tables.state, n_dyn
 
 

@@ -39,9 +39,13 @@ def test_dynamic_cars_detected(window_result):
         jnp.asarray(win["label"][:F - 1]).reshape(-1),
         res.removed[:F - 1].reshape(-1),
         jnp.asarray(win["valid"][:F - 1]).reshape(-1))
+    # floors pinned just below measured (PR 99.86 / RR 98.7 / F1 0.993 on
+    # this scene) and ABOVE the reference's published seq-00 numbers
+    # (PR 98.81 / RR 94.53 / F1 0.9662, doc/note.txt:2) so a regression
+    # below reference parity fails loudly
     assert m.pr > 99.0, f"static points wrongly removed: PR={m.pr}"
-    assert m.rr > 75.0, f"dynamic rejection too low: RR={m.rr}"
-    assert m.f1 > 0.85
+    assert m.rr > 96.0, f"dynamic rejection too low: RR={m.rr}"
+    assert m.f1 > 0.97
 
 
 def test_parked_cars_not_removed(window_result):
