@@ -63,6 +63,17 @@ def refine_by_intensity(root_grid: jnp.ndarray, grid: VoxelGrid,
     v and n merge (reference predicate at src/ssc.cpp:588-595). Merging is
     min-root-label union followed by a cluster-wide broadcast so the merge
     is transitive within an iteration.
+
+    The predicate is asymmetric (variance is checked on the NEIGHBOUR only)
+    but the reference's fusion is an undirected union - cluster c fuses
+    with every label in its qualifying neighbour set regardless of label
+    order (src/ssc.cpp:605-626). A min-pull alone would union only when the
+    qualifying direction points at the smaller label, so each offset is
+    evaluated BOTH ways: v pulls lab(n) when edge (v->n) qualifies, and v
+    also pulls lab(n) when the reverse-centred edge (n->v) qualifies
+    (cov(v) <= thr, radius taken at n) - together an undirected union of
+    every qualifying edge (verified against the sequential oracle in
+    tests/test_oracle_reference.py).
     """
     shape3 = cfg.grid.shape
     A, R, S = shape3
@@ -87,6 +98,7 @@ def refine_by_intensity(root_grid: jnp.ndarray, grid: VoxelGrid,
     # neighbour quality is a per-voxel property (occupied & low variance);
     # precompute it once - only the |mean difference| term is pairwise
     ok_vox_p = occ_p & (cov_p <= cfg.seg.intensity_cov)
+    self_ok = occ3 & (cov3 <= cfg.seg.intensity_cov)
 
     def one_iteration(lab: jnp.ndarray) -> jnp.ndarray:
         lab3 = lab.reshape(shape3)
@@ -103,11 +115,21 @@ def refine_by_intensity(root_grid: jnp.ndarray, grid: VoxelGrid,
                     cheb_full = jnp.maximum(cheb, jnp.abs(ds))
                     nb_lab = _shift_gather(lab_p, da, dr, ds, shape3, pad)
                     nb_ok = _shift_gather(ok_vox_p, da, dr, ds, shape3, pad)
+                    nb_occ = _shift_gather(occ_p, da, dr, ds, shape3, pad)
                     nb_av = _shift_gather(av_p, da, dr, ds, shape3, pad)
-                    ok = (nb_ok
-                          & (cheb_full <= radius)
-                          & (jnp.abs(av3 - nb_av)
-                             <= cfg.seg.intensity_diff))
+                    close = jnp.abs(av3 - nb_av) <= cfg.seg.intensity_diff
+                    # pull: edge centred at v (neighbour variance + r(v))
+                    ok = nb_ok & (cheb_full <= radius) & close
+                    # push folded into the opposite offset: edge centred at
+                    # n = v + d qualifies with cov(v) and radius(r_idx+dr);
+                    # radius is analytic in the range index, so the shifted
+                    # radius costs no gather
+                    radius_n = jnp.where(
+                        r_idx + dr > int(cfg.grid.range_num
+                                         * cfg.seg.far_range_frac),
+                        1, cfg.seg.search_c)
+                    ok = ok | (nb_occ & self_ok & (cheb_full <= radius_n)
+                               & close)
                     m = jnp.minimum(m, jnp.where(ok, nb_lab, sentinel))
             return m
 

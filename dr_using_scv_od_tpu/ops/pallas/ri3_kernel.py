@@ -1,11 +1,13 @@
 """Pallas TPU kernel: intensity-gated cluster fusion ("RI3").
 
 VMEM-tiled companion of cc_kernel.py for refineClusterByIntensity
-(src/ssc.cpp:571-635). Labels propagate between voxels v, n with
-Chebyshev distance <= radius(v) when EITHER
-  * the reference's intensity predicate holds - n is occupied with
-    variance <= intensity_cov and |mean(v) - mean(n)| <= intensity_diff
-    (src/ssc.cpp:588-595), or
+(src/ssc.cpp:571-635). Labels propagate between voxels v, n when EITHER
+  * the reference's intensity predicate holds in EITHER direction - the
+    predicate is asymmetric (variance checked on the neighbour, radius on
+    the centre, src/ssc.cpp:588-595) but the reference's fusion is an
+    undirected union, so v pulls lab(n) when edge (v->n) qualifies AND
+    when the reverse-centred edge (n->v) qualifies (cov(v), radius(n));
+    see models/segmentation.refine_by_intensity for the same rule, or
   * v and n belong to the same pre-RI3 cluster (so a merged label spreads
     across entire clusters - the kernel equivalent of the reference's
     whole-cluster fusion, without any segment scatter).
@@ -82,10 +84,16 @@ def _ri3_tile_kernel(lab_hbm, orig_hbm, av_hbm, qual_hbm,
                     nb_orig = sh2(orig)
                     nb_av = sh2(av)
                     nb_qual = sh2(qual) != 0
-                    ok_pred = nb_qual & (jnp.abs(av - nb_av) <= av_diff)
-                    ok = ok_pred | (nb_orig == orig)
+                    close = jnp.abs(av - nb_av) <= av_diff
+                    # pull: edge centred at v (neighbour variance, r(v))
+                    ok_pull = nb_qual & close
+                    # push (reverse-centred edge): centre variance, radius
+                    # at the neighbour's range index r_iota + dr
+                    ok_push = (nb_orig != inf) & (qual != 0) & close
                     if cheb == 2:
-                        ok = ok & wide
+                        ok_pull = ok_pull & wide
+                        ok_push = ok_push & (r_iota <= far_range_bin - dr)
+                    ok = ok_pull | ok_push | (nb_orig == orig)
                     if dr >= 1:
                         ok = ok & (r_iota < R - dr)
                     elif dr <= -1:

@@ -105,3 +105,42 @@ def test_radius_shrink_at_far_range():
         shape3, 2, 1.0, 2.0, far_range_frac=0.6, interpret=True))
     f = fused.reshape(shape3)
     assert f[1, 14, 5] != f[1, 14, 7]
+
+
+def test_parity_with_xla_path_fuzz():
+    """The Pallas kernel (interpret mode) and the XLA formulation
+    (models/segmentation.refine_by_intensity) must compute the SAME fusion
+    partition at fixpoint - they are two lowerings of one semantic."""
+    import dataclasses
+    from dr_using_scv_od_tpu import config
+    from dr_using_scv_od_tpu.models import segmentation
+    from dr_using_scv_od_tpu.types import VoxelGrid
+
+    cfg = config.tiny_test()
+    cfg = dataclasses.replace(
+        cfg, seg=dataclasses.replace(cfg.seg, iteration=24))
+    shape3 = cfg.grid.shape
+    for seed in range(4):
+        rng = np.random.default_rng(seed + 77)
+        occ = rng.random(shape3) < 0.06
+        av = rng.uniform(0, 12, shape3).astype(np.float32)
+        var = rng.uniform(0, 2.5, shape3).astype(np.float32)
+        roots = clustering.connected_components(jnp.asarray(occ))
+        grid = VoxelGrid(count=jnp.asarray(occ.reshape(-1).astype(np.int32)),
+                         intensity_mean=jnp.asarray(av.reshape(-1)),
+                         intensity_var=jnp.asarray(var.reshape(-1)))
+        xla = np.asarray(segmentation.refine_by_intensity(roots, grid, cfg))
+        pal = np.asarray(ri3_kernel.refine_by_intensity_pallas(
+            roots, grid.count, grid.intensity_mean, grid.intensity_var,
+            shape3, cfg.seg.search_c, cfg.seg.intensity_cov,
+            cfg.seg.intensity_diff, cfg.seg.far_range_frac,
+            max_outer=32, interpret=True))
+        o = occ.reshape(-1)
+        # compare PARTITIONS (representatives may differ)
+        import collections
+        def part(lab):
+            groups = collections.defaultdict(set)
+            for v in np.nonzero(o)[0]:
+                groups[lab[v]].add(int(v))
+            return {frozenset(g) for g in groups.values()}
+        assert part(xla) == part(pal), f"seed {seed}: partitions differ"
