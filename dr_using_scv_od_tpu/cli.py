@@ -88,6 +88,37 @@ def cmd_segdf(args):
     for c, (rr, remain, total) in sorted(per_cls.items()):
         print(f"  class {c}: RR={rr:.2f}%  remain={remain}/{total}")
 
+    if args.iou:
+        # direct pipeline -> per-class IoU against the window's own GT
+        # labels (the reference needs the plotObject detour through saved
+        # PCD artifacts, src/plotObject.cpp:41-147)
+        from .models.segmentation import ROUTE_GROUND
+        lut = np.array([50, 70, 10], np.int32)   # building, tree, car
+        pc_all = np.asarray(res.point_cluster)
+        types = np.asarray(res.tables.type)
+        states = np.asarray(res.tables.state)
+        routes = np.asarray(res.frames.state.point_route)
+        F = pc_all.shape[0]
+        pred = np.full(pc_all.shape, -1, np.int32)
+        for f in range(F):
+            pcs = np.clip(pc_all[f], 0, types.shape[1] - 1)
+            t = types[f][pcs]
+            lab = np.where((pc_all[f] >= 0) & (t >= 0), lut[np.clip(t, 0, 2)],
+                           -1)
+            lab = np.where((pc_all[f] >= 0) & (states[f][pcs] == 1), 252,
+                           lab)
+            lab = np.where(routes[f] == ROUTE_GROUND, 40, lab)
+            pred[f] = lab
+        class_map = {40: (40, 44, 48, 49), 50: (50, 51, 52),
+                     70: (70, 71, 72), 10: (10, 13, 16, 18, 20),
+                     252: tuple(metrics.DYNAMIC_CLASSES)}
+        iou = metrics.semantic_iou(
+            np.asarray(win["label"]).reshape(-1), pred.reshape(-1),
+            np.asarray(win["valid"]).reshape(-1), class_map)
+        for cls, name in [(40, "ground"), (50, "building"), (70, "tree"),
+                          (10, "car"), (252, "PD")]:
+            print(f"  IoU {name}: {iou[cls]:.2f}%")
+
     if args.out:
         from .utils import artifacts
         out = Path(args.out)
@@ -116,6 +147,73 @@ def cmd_segdf(args):
     return 0
 
 
+def cmd_slam(args):
+    """Streaming odometry+mapping engine over a scan sequence: GICP
+    scan-to-map odometry -> segmentation/tracking -> keyframe submaps ->
+    descriptor loop closure -> pose-graph solve -> periodic ERASOR +
+    checkpoints (models/engine.py; the composed driver the reference left
+    commented out at src/ssc.cpp:1454-1546)."""
+    from . import config
+    from .models import engine, odometry
+    from .utils import io_kitti
+
+    cfg = getattr(config, args.profile)()
+    _, win = _load_window(args, cfg)
+    ec = engine.EngineConfig(
+        window=args.window, max_keyframes=args.max_keyframes,
+        submap_points=args.submap_points,
+        erasor_every=args.erasor_every,
+        drift_bias=tuple(json.loads(args.drift_bias)) if args.drift_bias
+        else (0.0,) * 6)
+
+    if args.resume:
+        eng = engine.SlamEngine.resume(args.resume, cfg, ec,
+                                       ckpt_dir=args.out,
+                                       ckpt_every=args.ckpt_every)
+        start = eng.n_frames
+        print(f"resumed at frame {start} from {args.resume}")
+    else:
+        eng = engine.SlamEngine(cfg, ec, ckpt_dir=args.out,
+                                ckpt_every=args.ckpt_every)
+        start = 0
+
+    F = win["xyz"].shape[0]
+    n_dyn = 0
+    for f in range(start, F):
+        out = eng.feed(win["xyz"][f], win["intensity"][f], win["valid"][f])
+        if out is not None:
+            n_dyn += int(np.sum(out.n_dynamic))
+            if bool(out.loop_accepted):
+                i, j = (int(v) for v in out.loop_pair)
+                print(f"  loop closed: kf {i} <- {j} "
+                      f"(score {float(out.loop_score):.3f}, "
+                      f"rmse {float(out.loop_rmse):.3f})")
+    eng.finalize()
+
+    poses = eng.poses()
+    st = eng.state
+    print(f"frames={eng.n_frames}  loops={int(st.n_loops)}  "
+          f"dynamic_clusters={n_dyn}  "
+          f"erasor_removed={int(st.erasor_removed)}  "
+          f"odo_fallbacks={int(st.odo_fallbacks)}")
+    if "poses" in win:
+        import jax.numpy as jnp
+        gt = jnp.asarray(win["poses"][:eng.n_frames])
+        ate = float(odometry.ate_rmse(jnp.asarray(poses), gt))
+        print(f"ATE={ate:.3f} m")
+    if args.out:
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        m = eng.static_map()
+        io_kitti.write_pcd_xyzi(
+            outdir / "map_static.pcd",
+            np.concatenate([m, np.zeros((len(m), 1), np.float32)], axis=1))
+        np.savetxt(outdir / "trajectory.txt",
+                   poses[:, :3, :].reshape(len(poses), 12), fmt="%.6f")
+        print(f"map ({len(m)} pts) + trajectory -> {outdir}")
+    return 0
+
+
 def cmd_odometry(args):
     from . import config
     from .models import odometry
@@ -140,6 +238,13 @@ def cmd_evaluate(args):
     (artifact-level twin of tool/analysis.py)."""
     from .eval import artifact as artifact_eval
     return artifact_eval.evaluate_cli(args)
+
+
+def cmd_evaluate_map(args):
+    """4-outcome (TP/FN/TN/FP) recolored evaluation cloud
+    (ufo_evaluate, src/evaluate.cpp:79-145)."""
+    from .eval import artifact as artifact_eval
+    return artifact_eval.evaluate_map_cli(args)
 
 
 def cmd_colorize(args):
@@ -379,17 +484,48 @@ def main(argv=None):
     sp = sub.add_parser("segdf", help="full dynamic-removal pipeline")
     common(sp)
     sp.add_argument("--estimate-poses", action="store_true")
+    sp.add_argument("--iou", action="store_true",
+                    help="also report per-class semantic IoU vs GT labels")
     sp.set_defaults(fn=cmd_segdf)
 
     sp = sub.add_parser("odometry", help="GICP window odometry + ATE")
     common(sp)
     sp.set_defaults(fn=cmd_odometry)
 
+    sp = sub.add_parser(
+        "slam", help="streaming odometry+mapping engine (no GT poses)")
+    common(sp)
+    sp.add_argument("--window", type=int, default=6)
+    sp.add_argument("--max-keyframes", type=int, default=128)
+    sp.add_argument("--submap-points", type=int, default=4096)
+    sp.add_argument("--erasor-every", type=int, default=4,
+                    help="windows between ERASOR map cleanings (0=final)")
+    sp.add_argument("--ckpt-every", type=int, default=0,
+                    help="checkpoint every N frames (0=off; needs --out)")
+    sp.add_argument("--resume", default=None,
+                    help="checkpoint path to resume from")
+    sp.add_argument("--drift-bias", default=None,
+                    help="JSON [6] se(3) odometry bias (fault injection)")
+    sp.set_defaults(fn=cmd_slam)
+
     sp = sub.add_parser("evaluate", help="metrics from artifact PCDs")
     sp.add_argument("--gt", required=True, help="labeled gt pcd")
     sp.add_argument("--est", required=True, help="estimated static pcd")
     sp.add_argument("--voxel", type=float, default=0.2)
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser(
+        "evaluate-map",
+        help="TP/FN/TN/FP recolored evaluation cloud (ufo_evaluate)")
+    sp.add_argument("--gt", required=True, help="labeled gt pcd")
+    sp.add_argument("--static", required=True, help="estimated static pcd")
+    sp.add_argument("--dynamic", required=True, help="estimated dynamic pcd")
+    sp.add_argument("--out", required=True, help="output evaluate.pcd")
+    sp.add_argument("--radius", type=float, default=0.15,
+                    help="primary match radius (evaluate.cpp:97)")
+    sp.add_argument("--radius2", type=float, default=0.1,
+                    help="secondary (cross) match radius (evaluate.cpp:108)")
+    sp.set_defaults(fn=cmd_evaluate_map)
 
     sp = sub.add_parser("colorize", help="KITTI .bin -> PCD")
     sp.add_argument("--bin", required=True)

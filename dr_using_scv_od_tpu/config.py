@@ -218,6 +218,24 @@ class GicpConfig:
     xy_extent: float = 80.0   # grid spans [-xy_extent, +xy_extent) in x, y
     z_min: float = -12.0
     z_max: float = 28.0
+    # Coarse-to-fine pyramid (gicp.register_pyramid): first solve against a
+    # factor-pooled voxel map with the correspondence radius scaled up,
+    # then refine at full resolution. 1 disables. Grid dims must divide by
+    # the factor.
+    coarse_factor: int = 4
+    # Gauss-Newton trust region: per-iteration step caps (metres, radians).
+    # Prevents degenerate Hessians from flinging the iterate to infinity
+    # when correspondences collapse.
+    max_step_t: float = 2.0
+    max_step_r: float = 0.35
+    # Registration failure detection: below this many correspondences, or
+    # above this relative motion per pair (metres - physically implausible
+    # for consecutive scans), the result is flagged failed and callers fall
+    # back to the previous GOOD relative transform (constant velocity),
+    # counting the event - never silently diverging, never compounding a
+    # garbage estimate.
+    min_fallback_corr: int = 50
+    max_rel_motion: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

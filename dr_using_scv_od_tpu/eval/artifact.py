@@ -65,6 +65,85 @@ def evaluate_maps(gt_xyz: np.ndarray, gt_labels: np.ndarray,
             "n_dynamic": n_dyn, "per_class": per_class}
 
 
+# ---------------------------------------------------------------------------
+# 4-outcome visual evaluation map (ufo_evaluate, src/evaluate.cpp:79-145)
+
+OUTCOME_DROPPED = -1   # matched neither map (the reference skips these)
+OUTCOME_TP = 0         # GT static, found in the static map     -> green
+OUTCOME_FN = 1         # GT static, only in the dynamic cloud   -> orange
+OUTCOME_TN = 2         # GT dynamic, found in the dynamic cloud -> cyan
+OUTCOME_FP = 3         # GT dynamic, only in the static map     -> pink
+#                        (the reference's comment at evaluate.cpp:135 says
+#                        "FN" for this branch too; it is semantically a
+#                        false preservation, so we name it FP)
+
+OUTCOME_COLORS = np.array([
+    [0, 255, 127],     # TP  (evaluate.cpp:100-102)
+    [255, 165, 0],     # FN  (evaluate.cpp:111-113)
+    [0, 255, 255],     # TN  (evaluate.cpp:124-126)
+    [255, 192, 203],   # FP  (evaluate.cpp:135-137)
+], np.uint8)
+
+
+def four_outcome_map(gt_xyz: np.ndarray, gt_static: np.ndarray,
+                     static_xyz: np.ndarray, dynamic_xyz: np.ndarray,
+                     r_primary: float = 0.15, r_secondary: float = 0.1):
+    """Classify every GT point into TP/FN/TN/FP by radius-matching it
+    against the estimated static map and dynamic cloud, reproducing
+    src/evaluate.cpp:87-143: the expected map is probed first with the
+    looser radius (0.15 m), the opposite map with the tighter one (0.1 m),
+    and points matching neither are dropped from the visual.
+
+    Returns (outcome [N] int8, xyzrgb [M,6] float32 colored cloud of the
+    kept points, counts dict)."""
+    n = len(gt_xyz)
+    d_s = np.full((n,), np.inf, np.float32)
+    d_d = np.full((n,), np.inf, np.float32)
+    if len(static_xyz):
+        d_s = np.asarray(nn_distances(jnp.asarray(gt_xyz),
+                                      jnp.asarray(static_xyz)))
+    if len(dynamic_xyz):
+        d_d = np.asarray(nn_distances(jnp.asarray(gt_xyz),
+                                      jnp.asarray(dynamic_xyz)))
+    in_s_p = d_s < r_primary ** 2
+    in_d_p = d_d < r_primary ** 2
+    in_s_s = d_s < r_secondary ** 2
+    in_d_s = d_d < r_secondary ** 2
+
+    outcome = np.full((n,), OUTCOME_DROPPED, np.int8)
+    gt_static = np.asarray(gt_static, bool)
+    outcome[gt_static & in_s_p] = OUTCOME_TP
+    outcome[gt_static & ~in_s_p & in_d_s] = OUTCOME_FN
+    outcome[~gt_static & in_d_p] = OUTCOME_TN
+    outcome[~gt_static & ~in_d_p & in_s_s] = OUTCOME_FP
+
+    kept = outcome >= 0
+    rgb = OUTCOME_COLORS[outcome[kept]].astype(np.float32)
+    xyzrgb = np.concatenate([gt_xyz[kept].astype(np.float32), rgb], axis=1)
+    counts = {name: int((outcome == code).sum())
+              for name, code in [("tp", OUTCOME_TP), ("fn", OUTCOME_FN),
+                                 ("tn", OUTCOME_TN), ("fp", OUTCOME_FP),
+                                 ("dropped", OUTCOME_DROPPED)]}
+    return outcome, xyzrgb, counts
+
+
+def evaluate_map_cli(args) -> int:
+    from ..utils import artifacts, io_kitti
+    from .metrics import is_dynamic_label
+    gt = io_kitti.read_pcd_xyzi(args.gt)
+    est_s = io_kitti.read_pcd_xyzi(args.static)
+    est_d = io_kitti.read_pcd_xyzi(args.dynamic)
+    gt_static = ~np.asarray(is_dynamic_label(
+        jnp.asarray(gt[:, 3].astype(np.uint32))))
+    _, xyzrgb, counts = four_outcome_map(
+        gt[:, :3], gt_static, est_s[:, :3], est_d[:, :3],
+        r_primary=args.radius, r_secondary=args.radius2)
+    artifacts.write_colored_pcd(args.out, xyzrgb)
+    print(f"TP={counts['tp']}  FN={counts['fn']}  TN={counts['tn']}  "
+          f"FP={counts['fp']}  dropped={counts['dropped']} -> {args.out}")
+    return 0
+
+
 def evaluate_cli(args) -> int:
     from ..utils import io_kitti
     gt = io_kitti.read_pcd_xyzi(args.gt)

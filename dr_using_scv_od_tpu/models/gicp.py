@@ -136,6 +136,11 @@ def finalize_target(vm: VoxelMap, cfg: GicpConfig) -> GicpTarget:
     W = _inv3x3_sym(C)
     w_packed = jnp.stack([W[:, 0, 0], W[:, 1, 1], W[:, 2, 2],
                           W[:, 0, 1], W[:, 0, 2], W[:, 1, 2]], axis=-1)
+    # degenerate covariances (collinear voxel points) can NaN the
+    # closed-form eigendecomposition; drop those voxels' weight to zero
+    # rather than poisoning the normal equations
+    w_packed = jnp.where(jnp.all(jnp.isfinite(w_packed), axis=-1,
+                                 keepdims=True), w_packed, 0.0)
     valid = vm.n >= cfg.min_pts_per_voxel
     return GicpTarget(mean=mean, weight=w_packed, valid=valid)
 
@@ -206,6 +211,18 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
         g = jnp.einsum('nji,nj->i', WJ, r)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
         dxi = -jnp.linalg.solve(H, g)
+        # a singular solve yields inf/nan - zero the step instead of letting
+        # it poison the pose (the fallback path in callers handles recovery)
+        dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
+        # trust region: cap the step so a degenerate Hessian (correspondence
+        # collapse) cannot fling the iterate to infinity; skip the update
+        # entirely below 6 correspondences (6-DoF problem underdetermined)
+        tn = jnp.linalg.norm(dxi[:3])
+        rn = jnp.linalg.norm(dxi[3:])
+        scale = jnp.minimum(1.0, jnp.minimum(
+            cfg.max_step_t / jnp.maximum(tn, 1e-12),
+            cfg.max_step_r / jnp.maximum(rn, 1e-12)))
+        dxi = dxi * scale * (jnp.sum(ok) >= 6)
         n_ok = jnp.maximum(jnp.sum(ok), 1)
         err = jnp.einsum('ni,nij,nj->', r, W, r) / n_ok
         rmse = jnp.sqrt(jnp.sum(jnp.sum(r * r, -1) * ok) / n_ok)
@@ -221,6 +238,7 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
             jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf),
             jnp.asarray(jnp.inf))
     T, it, err, ncorr, rmse, _ = jax.lax.while_loop(cond, step, init)
+    T = geometry.orthonormalize_se3(T)
     # out-of-bounds accounting at the final iterate (valid source points
     # the grid could not see - surfaced, not silently dropped)
     _, ok_final = voxel_index(geometry.transform_points(T, source_xyz),
@@ -230,10 +248,85 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
                       rmse=rmse, n_oob=n_oob)
 
 
+def pool_voxel_map(vm: VoxelMap, cfg: GicpConfig,
+                   factor: int) -> VoxelMap:
+    """Downsample a voxel map by `factor` per axis. Gaussian SUMS are
+    additive, so a coarse voxel is just the sum of its factor^3 fine
+    children - one reshape-sum, no re-binning of points."""
+    nxy, nz = _grid_dims(cfg)
+    assert nxy % factor == 0 and nz % factor == 0, \
+        f"grid ({nxy},{nz}) not divisible by pyramid factor {factor}"
+    cx, cz = nxy // factor, nz // factor
+
+    def pool(a):
+        a = a.reshape((cx, factor, cx, factor, cz, factor)
+                      + a.shape[1:])
+        return a.sum(axis=(1, 3, 5)).reshape((cx * cx * cz,) + a.shape[6:])
+
+    return VoxelMap(n=pool(vm.n), sum_x=pool(vm.sum_x),
+                    sum_xx=pool(vm.sum_xx), n_oob=vm.n_oob)
+
+
+def _coarse_cfg(cfg: GicpConfig, factor: int) -> GicpConfig:
+    import dataclasses
+    return dataclasses.replace(
+        cfg, voxel_size=cfg.voxel_size * factor,
+        max_corr_dist=cfg.max_corr_dist * factor,
+        max_iters=max(cfg.max_iters // 2, 8))
+
+
+def register_pyramid(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
+                     vm: VoxelMap, cfg: GicpConfig,
+                     T_init: jnp.ndarray | None = None) -> GicpResult:
+    """Coarse-to-fine registration: solve first against a factor-pooled
+    voxel map (correspondence radius scaled up with it), then refine at
+    full resolution from the coarse pose. Robust to inter-scan motion
+    several times `max_corr_dist` - e.g. skip-sampled KITTI windows
+    (~2-7 m/frame, the regime the reference sidesteps by reading GT
+    poses, src/ssc.cpp:913-995)."""
+    if cfg.coarse_factor > 1:
+        ccfg = _coarse_cfg(cfg, cfg.coarse_factor)
+        vmc = pool_voxel_map(vm, cfg, cfg.coarse_factor)
+        res_c = register(source_xyz, source_valid,
+                         finalize_target(vmc, ccfg), ccfg, T_init)
+        T_init = res_c.T
+    tgt = finalize_target(vm, cfg)
+    return register(source_xyz, source_valid, tgt, cfg, T_init)
+
+
+def register_global(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
+                    vm: VoxelMap, cfg: GicpConfig,
+                    n_yaw: int = 16) -> GicpResult:
+    """Globally initialized registration: sweep `n_yaw` yaw hypotheses
+    through the cheap coarse pyramid level, keep the basin with the most
+    correspondences, refine at full resolution. For cold starts with no
+    motion prior (sequence start, kidnapped re-localization) where the
+    attraction basin of a single GICP solve is narrower than the unknown
+    rotation."""
+    factor = max(cfg.coarse_factor, 2)
+    ccfg = _coarse_cfg(cfg, factor)
+    vmc = pool_voxel_map(vm, cfg, factor)
+    tgt_c = finalize_target(vmc, ccfg)
+
+    def try_yaw(yaw):
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        Ti = jnp.array([[c, -s, 0, 0], [s, c, 0, 0],
+                        [0, 0, 1, 0], [0, 0, 0, 1]], source_xyz.dtype)
+        res = register(source_xyz, source_valid, tgt_c, ccfg, Ti)
+        # rank by correspondence count, tie-broken by residual
+        score = res.n_corr.astype(jnp.float32) - res.rmse
+        return score, res.T
+
+    yaws = jnp.arange(n_yaw, dtype=source_xyz.dtype) * (2 * jnp.pi / n_yaw)
+    scores, Ts = jax.lax.map(try_yaw, yaws)
+    best = jnp.argmax(scores)
+    tgt = finalize_target(vm, cfg)
+    return register(source_xyz, source_valid, tgt, cfg, T_init=Ts[best])
+
+
 def scan_to_scan(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
                  target_xyz: jnp.ndarray, target_valid: jnp.ndarray,
                  cfg: GicpConfig,
                  T_init: jnp.ndarray | None = None) -> GicpResult:
     vm = build_voxel_map(target_xyz, target_valid, cfg)
-    tgt = finalize_target(vm, cfg)
-    return register(source_xyz, source_valid, tgt, cfg, T_init)
+    return register_pyramid(source_xyz, source_valid, vm, cfg, T_init)

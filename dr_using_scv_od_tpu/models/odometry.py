@@ -46,9 +46,8 @@ def estimate_window_poses(xyz: jnp.ndarray, valid: jnp.ndarray,
         src_xyz = xyz[t + 1]
         src_valid = valid[t + 1]
         vm = gicp.build_voxel_map(tgt_xyz, tgt_valid, cfg.gicp)
-        target = gicp.finalize_target(vm, cfg.gicp)
-        res = gicp.register(src_xyz, src_valid, target, cfg.gicp,
-                            T_init=T_prev_rel)
+        res = gicp.register_pyramid(src_xyz, src_valid, vm, cfg.gicp,
+                                    T_init=T_prev_rel)
         return res.T, (res.T, res.n_corr, res.final_error)
 
     T0 = jnp.eye(4, dtype=xyz.dtype)
@@ -74,12 +73,11 @@ def estimate_window_poses_scan_to_map(xyz: jnp.ndarray, valid: jnp.ndarray,
 
     def step(carry, t):
         vm, T_world, T_rel_prev = carry
-        target = gicp.finalize_target(vm, cfg.gicp)
         # warm start: constant velocity in the world frame
         T_init = T_world @ T_rel_prev
         src = xyz[t + 1]
-        res = gicp.register(src, valid[t + 1], target, cfg.gicp,
-                            T_init=T_init)
+        res = gicp.register_pyramid(src, valid[t + 1], vm, cfg.gicp,
+                                    T_init=T_init)
         T_new = res.T            # world_T_frame (map frame == frame 0)
         T_rel = geometry.inverse_se3(T_world) @ T_new
         warped = geometry.transform_points(T_new, src)

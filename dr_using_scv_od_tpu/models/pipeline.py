@@ -119,17 +119,23 @@ class WindowResult(NamedTuple):
     n_dynamic: jnp.ndarray         # [F] per-pair dynamic verdicts
     new_row_overflow: jnp.ndarray      # ran out of cluster rows
     track_point_overflow: jnp.ndarray  # points past max_track_points
+    track_counter: jnp.ndarray     # next unassigned track id (streaming)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "bbox_dropped_dynamic"))
 def run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
                valid: jnp.ndarray, poses: jnp.ndarray,
                cfg: PipelineConfig,
-               bbox_dropped_dynamic: bool = False) -> WindowResult:
+               bbox_dropped_dynamic: bool = False,
+               init_track=None) -> WindowResult:
     """The whole batch pipeline over one window: per-frame segmentation
     (data-parallel) + pairwise tracking (sequential scan) + final per-point
     dynamic verdicts. Analog of segDF (src/ssc.cpp:1428-1452) + the
-    map-assembly step (saveSegCloud mode 3, src/ssc.cpp:531-567)."""
+    map-assembly step (saveSegCloud mode 3, src/ssc.cpp:531-567).
+
+    `init_track`: optional streaming carry (table, label_grid, counter)
+    for the first frame, produced by the previous overlapping window
+    (models/engine.py); tracking.track_window documents the semantics."""
     from . import tracking
     from .segmentation import ROUTE_BBOX_DYNAMIC
 
@@ -138,7 +144,8 @@ def run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
     in_grid = frames.state.point_voxel >= 0
     tr = tracking.track_window(
         xyz, frames.state.point_voxel, in_grid & valid,
-        frames.state.label_grid, frames.state.clusters, poses, cfg)
+        frames.state.label_grid, frames.state.clusters, poses, cfg,
+        init_carry=init_track)
 
     # final per-point cluster from the mutated grids
     G = cfg.grid.bin_num
@@ -160,4 +167,5 @@ def run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
                         label_grids=tr.label_grids, point_cluster=pc,
                         removed=removed, n_dynamic=tr.n_dynamic,
                         new_row_overflow=tr.new_row_overflow,
-                        track_point_overflow=tr.track_point_overflow)
+                        track_point_overflow=tr.track_point_overflow,
+                        track_counter=tr.counter)

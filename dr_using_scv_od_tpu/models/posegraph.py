@@ -146,7 +146,7 @@ def optimize(pg: PoseGraph, gn_iters: int = 10, cg_iters: int = 50,
         dx = x * gauge
         new_poses = jax.vmap(lambda T, xi: T @ geometry.exp_se3(xi))(
             pg_poses, dx)
-        return new_poses, jnp.sum(r * r)
+        return geometry.orthonormalize_se3(new_poses), jnp.sum(r * r)
 
     poses, errs = jax.lax.scan(gn_step, pg.poses, None, length=gn_iters)
     return PgoResult(poses=poses, final_error=errs[-1],

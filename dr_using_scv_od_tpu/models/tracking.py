@@ -51,6 +51,8 @@ class TrackingResult(NamedTuple):
     track_point_overflow: jnp.ndarray  # scalar int32 - points past the
     #                                    max_track_points budget (distinct
     #                                    remediation: raise max_track_points)
+    counter: jnp.ndarray       # scalar int32 - next unassigned track id
+    #                            (streaming carry across windows)
 
 
 def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
@@ -237,12 +239,19 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
 def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
                  point_valid: jnp.ndarray, label_grids: jnp.ndarray,
                  tables: ClusterTable, poses: jnp.ndarray,
-                 cfg: PipelineConfig) -> TrackingResult:
+                 cfg: PipelineConfig,
+                 init_carry=None) -> TrackingResult:
     """Run tracking over a window of F frames (scan over pairs,
     src/ssc.cpp:1450-1452).
 
     Args are stacked along the frame axis: xyz [F,N,3], point_voxel [F,N],
     point_valid [F,N], label_grids [F,G], tables [F,C], poses [F,4,4].
+
+    `init_carry` (streaming): optional (table, label_grid, counter) of the
+    window's FIRST frame as mutated by the previous window (the engine
+    overlaps windows by one frame so track ids and split/merge compensation
+    stay continuous across window boundaries). Defaults to the first
+    frame's freshly segmented state with counter 0.
     """
     F = xyz.shape[0]
 
@@ -264,9 +273,13 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
         return ((nxt_mut, nxt_grid_mut, counter, ovf + o, tovf + to),
                 (prev_fin, cur_grid, n_dyn))
 
-    init = (at(tables, 0), label_grids[0], jnp.zeros((), jnp.int32),
+    if init_carry is None:
+        t0, g0, c0 = at(tables, 0), label_grids[0], jnp.zeros((), jnp.int32)
+    else:
+        t0, g0, c0 = init_carry
+    init = (t0, g0, c0,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    ((last_table, last_grid, _, overflow, track_overflow),
+    ((last_table, last_grid, counter, overflow, track_overflow),
      (fin_tables, fin_grids, n_dyn)) = \
         jax.lax.scan(step, init, jnp.arange(F - 1))
 
@@ -279,4 +292,5 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
     n_dyn = jnp.concatenate([n_dyn, jnp.zeros((1,), jnp.int32)])
     return TrackingResult(tables=all_tables, label_grids=all_grids,
                           n_dynamic=n_dyn, new_row_overflow=overflow,
-                          track_point_overflow=track_overflow)
+                          track_point_overflow=track_overflow,
+                          counter=counter)

@@ -130,6 +130,28 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     return eye + jnp.sin(th) * W + (1.0 - jnp.cos(th)) * (W @ W)
 
 
+def orthonormalize_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (Gram-Schmidt on
+    columns), keeping the translation. Long compose/invert/recompose
+    chains in f32 accumulate an orthogonality defect that GROWS
+    geometrically once poses round-trip through relative-transform
+    extraction (engine window recomposition) - one projection per window
+    keeps it at the 1e-7 noise floor. Batch-safe ([...,4,4])."""
+    R = T[..., :3, :3]
+    x = R[..., :, 0]
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    y = R[..., :, 1]
+    y = y - jnp.sum(x * y, axis=-1, keepdims=True) * x
+    y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+    z = jnp.cross(x, y)
+    Ro = jnp.stack([x, y, z], axis=-1)
+    top = jnp.concatenate([Ro, T[..., :3, 3:4]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=T.dtype),
+        T.shape[:-2] + (1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
     """[...,6] twist (v, w) -> [...,4,4]. Uses the closed-form V matrix."""
     v, w = xi[..., :3], xi[..., 3:]

@@ -51,6 +51,28 @@ class SceneSpec:
     moving_speed: float = 6.5       # m per frame for dynamic cars
     noise: float = 0.02
     seed: int = 0
+    # Trajectory shape: "line" (default, original behaviour) or "loop"
+    # (a closed circle revisiting its start - exercises loop closure;
+    # heading follows the tangent so revisit scans are yaw-rotated).
+    trajectory: str = "line"
+    loop_radius: float = 18.0
+    loop_frames: int = 30           # frames per full circle
+
+
+def pose_at(spec: SceneSpec, frame: int) -> np.ndarray:
+    """World_T_sensor [4,4] for a frame along the configured trajectory."""
+    pose = np.eye(4, dtype=np.float32)
+    if spec.trajectory == "loop":
+        a = 2 * np.pi * frame / spec.loop_frames
+        R = spec.loop_radius
+        # start at origin heading +x; circle center at (0, R)
+        pose[0, 3] = R * np.sin(a)
+        pose[1, 3] = R * (1.0 - np.cos(a))
+        c, s = np.cos(a), np.sin(a)
+        pose[:2, :2] = np.array([[c, -s], [s, c]], np.float32)
+    else:
+        pose[0, 3] = spec.ego_speed * frame
+    return pose
 
 
 def _box_points(rng, center, size, n, noise, shell=True):
@@ -89,18 +111,120 @@ def _box_points(rng, center, size, n, noise, shell=True):
 
 @dataclasses.dataclass
 class Scene:
-    """World-frame static geometry + moving-object trajectories."""
+    """World-frame static geometry + moving-object trajectories.
+
+    Each object carries its own intensity base (stable across frames):
+    real surfaces are internally homogeneous but DIFFER between objects,
+    which is exactly the contrast the RI3 intensity refinement exploits
+    (reference thresholds: var <= 1.0 within a voxel, mean-diff <= 2.0
+    across voxels, config/semantickitti.yaml:53-54). Drawing every car
+    from one shared band would let RI3 fuse distinct adjacent cars."""
     buildings: List[Tuple[np.ndarray, np.ndarray]]
     trees: List[np.ndarray]
     parked: List[np.ndarray]
     moving_start: List[np.ndarray]
     moving_vel: List[np.ndarray]
     spec: SceneSpec
+    building_int: List[float] = dataclasses.field(default_factory=list)
+    parked_int: List[float] = dataclasses.field(default_factory=list)
+    moving_int: List[float] = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.spec.seed + 1234)
+        if not self.building_int:
+            self.building_int = list(rng.uniform(70, 100,
+                                                 len(self.buildings)))
+        if not self.parked_int:
+            self.parked_int = list(rng.uniform(100, 220, len(self.parked)))
+        if not self.moving_int:
+            self.moving_int = list(rng.uniform(100, 220,
+                                               len(self.moving_start)))
+
+
+def _moving_center(scene: Scene, i: int, frame: int) -> np.ndarray:
+    """World-frame center of moving car `i` at `frame`.
+
+    Line scenes store (start, velocity); loop scenes store (initial
+    WORLD angle, lane radius, z) in `moving_start` and the WORLD
+    angular speed (rad/frame) in `moving_vel[i][0]`: movers are
+    traffic on the ego's circular road. Whenever a mover's angular
+    offset from the ego exceeds ~+-110 deg it is outside the curved
+    grid's 30 m max range (the reference bypasses such points to its
+    static set, src/ssc.cpp:161-172) until it circulates back.
+    """
+    spec = scene.spec
+    if spec.trajectory == "loop":
+        a0, lane_r, z = scene.moving_start[i]
+        a = a0 + scene.moving_vel[i][0] * frame
+        cx, cy = 0.0, spec.loop_radius
+        return np.array([cx + lane_r * np.sin(a),
+                         cy - lane_r * np.cos(a), z])
+    return scene.moving_start[i] + scene.moving_vel[i] * frame
+
+
+def _make_loop_scene(spec: SceneSpec, rng) -> Scene:
+    """Static geometry in a ring around the circular road (center (0, R),
+    radius R); movers are traffic on exclusive lanes at R +- 2.
+
+    Layout discipline: the mover lanes keep >= 3 m SURFACE clearance from
+    every static object. Anything closer fuses the mover into a static
+    cluster via the 3x3x3 CVC neighbourhood / RI3 intensity refine (the
+    reference behaves identically for touching objects) and the fused
+    footprint exceeds car_square, so the mover is never judged. Parked
+    cars sit at R +- (7..9) (>= 3.2 m gap after half-widths), trees at
+    R +- (9..11), buildings on the outer ring at R + (13..18) with
+    bounded extents.
+    """
+    R = spec.loop_radius
+    cx, cy = 0.0, R
+
+    def ring_pos(dist, a=None):
+        if a is None:
+            a = rng.uniform(0, 2 * np.pi)
+        return np.array([cx + dist * np.sin(a), cy - dist * np.cos(a)])
+
+    buildings = []
+    for i in range(spec.n_buildings):
+        size = np.array([rng.uniform(5, 9), rng.uniform(4, 7),
+                         rng.uniform(6, 10)])
+        d = R + rng.uniform(13, 18)
+        xy = ring_pos(d)
+        buildings.append((np.array([xy[0], xy[1],
+                                    -spec.sensor_height + size[2] / 2]),
+                          size))
+    trees = []
+    for i in range(spec.n_trees):
+        d = R + rng.uniform(9, 11) if i % 2 == 0 else R - rng.uniform(9, 11)
+        xy = ring_pos(d)
+        trees.append(np.array([xy[0], xy[1], 2.0 - spec.sensor_height]))
+    parked = []
+    for i in range(spec.n_parked_cars):
+        d = R + rng.uniform(7.0, 9.0) if i % 2 == 0 \
+            else R - rng.uniform(7.0, 9.0)
+        xy = ring_pos(d)
+        parked.append(np.array([xy[0], xy[1], 0.75 - spec.sensor_height]))
+    moving_start, moving_vel = [], []
+    for i in range(spec.n_moving_cars):
+        lane = R + 2.0 if i % 2 == 0 else R - 2.0
+        # WORLD angular speed: the verdict lattice compensates ego motion
+        # through the poses, so what must exceed a car length per frame is
+        # the mover's WORLD displacement (~moving_speed m/frame, the scale
+        # of the reference's skip-5 KITTI windows) - not its ego-relative
+        # sweep. Even-index movers drive the ego's direction (slowly
+        # pulling ahead), odd-index ones are oncoming (sweeping past and
+        # circulating back into view).
+        omega = (spec.moving_speed / lane) * (1 if i % 2 == 0 else -1)
+        a0 = (0.45 if i % 2 == 0 else 0.9) + 0.5 * (i // 2)
+        moving_start.append(np.array([a0, lane, 0.75 - spec.sensor_height]))
+        moving_vel.append(np.array([omega, 0.0, 0.0]))
+    return Scene(buildings, trees, parked, moving_start, moving_vel, spec)
 
 
 def make_scene(spec: SceneSpec | None = None) -> Scene:
     spec = spec or SceneSpec()
     rng = np.random.default_rng(spec.seed)
+    if spec.trajectory == "loop":
+        return _make_loop_scene(spec, rng)
     E = spec.extent
     buildings = []
     for i in range(spec.n_buildings):
@@ -142,21 +266,21 @@ def render_frame(scene: Scene, frame: int):
     """
     spec = scene.spec
     rng = np.random.default_rng(spec.seed * 7919 + frame)
-    ego = np.array([spec.ego_speed * frame, 0.0, 0.0])
-    pose = np.eye(4, dtype=np.float32)
-    pose[:3, 3] = ego
+    pose = pose_at(spec, frame)
+    ego = pose[:3, 3].astype(np.float64)
+    Rw = pose[:3, :3].astype(np.float64)
 
     pts, labels, intens = [], [], []
 
     def world_to_sensor(p):
-        return p - ego
+        return (p - ego) @ Rw           # row-vector form of R^T (p - ego)
 
     # ground: disc around the ego; points under objects are occluded
     r = np.sqrt(rng.uniform(np.square(2.0), np.square(spec.extent),
                             size=spec.ground_pts))
     th = rng.uniform(0, 2 * np.pi, size=spec.ground_pts)
     gx = r * np.cos(th) + ego[0]
-    gy = r * np.sin(th)
+    gy = r * np.sin(th) + ego[1]
     gz = -spec.sensor_height + rng.normal(scale=spec.noise,
                                           size=spec.ground_pts)
     gpts = np.stack([gx, gy, gz], 1)
@@ -165,8 +289,8 @@ def render_frame(scene: Scene, frame: int):
     car_size_fp = np.array([4.2, 1.8, 1.5])
     for pc in scene.parked:
         footprints.append((pc, car_size_fp))
-    for start, vel in zip(scene.moving_start, scene.moving_vel):
-        footprints.append((start + vel * frame, car_size_fp))
+    for i in range(len(scene.moving_start)):
+        footprints.append((_moving_center(scene, i, frame), car_size_fp))
     for c, s in footprints:
         inside = (np.abs(gpts[:, 0] - c[0]) < s[0] / 2 + 0.15) \
             & (np.abs(gpts[:, 1] - c[1]) < s[1] / 2 + 0.15)
@@ -176,11 +300,12 @@ def render_frame(scene: Scene, frame: int):
     labels.append(np.full(len(gpts), LABEL_GROUND))
     intens.append(rng.uniform(10, 30, size=len(gpts)))
 
-    for center, size in scene.buildings:
+    for bi, (center, size) in enumerate(scene.buildings):
         p = _box_points(rng, center, size, spec.building_pts, spec.noise)
         pts.append(world_to_sensor(p))
         labels.append(np.full(len(p), LABEL_BUILDING))
-        intens.append(rng.uniform(80, 90, size=len(p)))  # homogeneous walls
+        intens.append(scene.building_int[bi]
+                      + rng.normal(0, 1.5, size=len(p)))  # homogeneous walls
 
     for tc in scene.trees:
         # trunk + scattered canopy: high intensity variance; no returns
@@ -193,18 +318,18 @@ def render_frame(scene: Scene, frame: int):
         intens.append(rng.uniform(0, 255, size=spec.tree_pts))
 
     car_size = np.array([4.2, 1.8, 1.5])
-    for pc in scene.parked:
+    for ci, pc in enumerate(scene.parked):
         p = _box_points(rng, pc, car_size, spec.car_pts, spec.noise)
         pts.append(world_to_sensor(p))
         labels.append(np.full(len(p), LABEL_CAR_STATIC))
-        intens.append(rng.uniform(120, 140, size=len(p)))
+        intens.append(scene.parked_int[ci] + rng.normal(0, 1.5, size=len(p)))
 
-    for start, vel in zip(scene.moving_start, scene.moving_vel):
-        c = start + vel * frame
+    for i in range(len(scene.moving_start)):
+        c = _moving_center(scene, i, frame)
         p = _box_points(rng, c, car_size, spec.car_pts, spec.noise)
         pts.append(world_to_sensor(p))
         labels.append(np.full(len(p), LABEL_CAR_MOVING))
-        intens.append(rng.uniform(120, 140, size=len(p)))
+        intens.append(scene.moving_int[i] + rng.normal(0, 1.5, size=len(p)))
 
     xyz = np.concatenate(pts).astype(np.float32)
     label = np.concatenate(labels).astype(np.int32)
@@ -226,6 +351,13 @@ def render_window(scene: Scene, n_frames: int, max_points: int):
     xs, ins, ls, vs, ps = [], [], [], [], []
     for f in range(n_frames):
         xyz, inten, label, pose = render_frame(scene, f)
+        if len(xyz) > max_points:
+            # unbiased cap: render_frame emits points grouped by object
+            # class (movers LAST), so truncating in emission order would
+            # silently drop whole classes - shuffle first
+            perm = np.random.default_rng(scene.spec.seed * 31 + f
+                                         ).permutation(len(xyz))
+            xyz, inten, label = xyz[perm], inten[perm], label[perm]
         n = min(len(xyz), max_points)
         X = np.zeros((max_points, 3), np.float32)
         I = np.zeros((max_points,), np.float32)
