@@ -276,7 +276,12 @@ def _window_loops(state: EngineState, xyz, valid, base, first: bool,
                             [0, 0, 1, 0], [0, 0, 0, 1]], xyz.dtype)
         res = gicp.scan_to_scan(sm, sv, xyz[q_local], valid[q_local],
                                 cfg.gicp, T_init=T_init)
-        min_corr = ec.loop_min_corr_frac * jnp.sum(sv)
+        # absolute floor: an empty candidate submap (e.g. fully invalidated
+        # by ERASOR) would otherwise make min_corr = 0 and let a zero-
+        # correspondence "registration" (n_corr=0, rmse=0) into the graph
+        min_corr = jnp.maximum(
+            ec.loop_min_corr_frac * jnp.sum(sv),
+            jnp.asarray(cfg.gicp.min_fallback_corr, jnp.float32))
         ok = (res.n_corr >= min_corr) & (res.rmse < ec.loop_max_rmse)
         return geometry.inverse_se3(res.T), ok, res.rmse, res.n_corr
 
@@ -550,6 +555,13 @@ class SlamEngine:
         """Process whatever scans remain (shorter final window)."""
         need_min = 2 if self._first else 1
         if len(self._pending) < need_min:
+            if self._pending:
+                import warnings
+                warnings.warn(
+                    f"flush(): {len(self._pending)} pending scan(s) cannot "
+                    f"form a minimal window (need {need_min}) and will not "
+                    "be processed; feed at least 2 scans total",
+                    stacklevel=2)
             return None
         return self._run_window()
 
@@ -558,6 +570,15 @@ class SlamEngine:
         self._pending = []
         if not self._first:
             batch = [self._overlap] + batch
+        # keyframe budget guard: past K, dynamic_update_slice_in_dim would
+        # clamp its start index and silently overwrite the last keyframes
+        # while state.n keeps growing - corrupting map, loops, trajectory
+        n_new = len(batch) if self._first else len(batch) - 1
+        if self.n_frames + n_new > self.ec.max_keyframes:
+            raise ValueError(
+                f"keyframe budget exhausted: {self.n_frames} keyframes + "
+                f"{n_new} new > max_keyframes={self.ec.max_keyframes}; "
+                "raise EngineConfig.max_keyframes to fit the sequence")
         xyz = jnp.asarray(np.stack([b[0] for b in batch]))
         inten = jnp.asarray(np.stack([b[1] for b in batch]))
         valid = jnp.asarray(np.stack([b[2] for b in batch]))
@@ -605,9 +626,22 @@ class SlamEngine:
 
     # -- checkpoint / resume ----------------------------------------------
 
+    def _config_fingerprint(self) -> str:
+        """Deterministic digest of every config field that shapes the
+        EngineState pytree - persisted with checkpoints and validated at
+        resume so mismatched max_keyframes/submap_points/window/grid caps
+        fail loudly instead of silently corrupting restored state."""
+        import hashlib
+        payload = repr((self.ec, self.cfg)).encode()
+        return hashlib.sha256(payload).hexdigest()
+
     def checkpoint(self, path: str | None = None) -> str:
         from pathlib import Path
         from ..utils import checkpoint as ckpt
+        if self._overlap is None:
+            raise RuntimeError(
+                "checkpoint() before any window has run: nothing to save "
+                "(feed at least one full window first)")
         path = path or str(Path(self.ckpt_dir or ".")
                            / f"engine_{self.n_frames:06d}")
         leaves = jax.tree.leaves(self.state)
@@ -616,6 +650,8 @@ class SlamEngine:
             "leaves": {f"{i:04d}": leaf for i, leaf in enumerate(leaves)},
             "overlap_xyz": ov_x, "overlap_int": ov_i, "overlap_val": ov_v,
             "windows": np.asarray(self.windows),
+            "config_sha": np.frombuffer(
+                self._config_fingerprint().encode(), dtype=np.uint8),
         })
         return path
 
@@ -627,9 +663,29 @@ class SlamEngine:
         from ..utils import checkpoint as ckpt
         eng = cls(cfg, ec, ckpt_dir=ckpt_dir, ckpt_every=ckpt_every)
         data = ckpt.load(path)
+        if "config_sha" in data:
+            saved = bytes(np.asarray(data["config_sha"])).decode()
+            now = eng._config_fingerprint()
+            if saved != now:
+                raise ValueError(
+                    "checkpoint/config mismatch: the checkpoint was written "
+                    "with a different EngineConfig/PipelineConfig "
+                    f"(saved {saved[:12]}..., current {now[:12]}...); "
+                    "resume with the original configs")
         template = jax.tree.structure(eng.state)
+        tmpl_leaves = jax.tree.leaves(eng.state)
         leaves = [jnp.asarray(data["leaves"][k])
                   for k in sorted(data["leaves"])]
+        if len(leaves) != len(tmpl_leaves):
+            raise ValueError(
+                f"checkpoint has {len(leaves)} leaves, expected "
+                f"{len(tmpl_leaves)} - incompatible checkpoint")
+        for i, (got, want) in enumerate(zip(leaves, tmpl_leaves)):
+            if got.shape != want.shape:
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {got.shape}, expected "
+                    f"{want.shape} - was the checkpoint written with "
+                    "different max_keyframes/submap_points/shape caps?")
         eng.state = jax.tree.unflatten(template, leaves)
         eng._overlap = (data["overlap_xyz"], data["overlap_int"],
                         data["overlap_val"])

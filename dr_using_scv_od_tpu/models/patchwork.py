@@ -120,8 +120,20 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     binned = pid < P
     z = xyz[..., 2]
 
-    counts = jax.ops.segment_sum(binned.astype(jnp.int32), pid,
-                                 num_segments=P + 1)[:P]
+    # All per-patch reductions below run as ONE-HOT MATMULS on the MXU
+    # ([P, N] selector @ [N, F] features) instead of segment-sum scatters:
+    # TPU scatters serialize (~2 ms each, ~30 of them = the old 49 ms
+    # patchwork stage); the matmuls total < 2 ms.
+    patch_iota = jnp.arange(P, dtype=jnp.int32)[:, None]
+
+    def psum(mask, feats, precision):
+        oh = jnp.where(mask[None, :], pid[None, :] == patch_iota, False)
+        return jnp.matmul(oh.astype(feats.dtype), feats,
+                          precision=precision,
+                          preferred_element_type=jnp.float32)
+
+    counts = psum(binned, jnp.ones((N, 1), jnp.float32),
+                  "default")[:, 0].astype(jnp.int32)
 
     # ---- LPR seed height via per-patch z histogram
     zone0 = _zone0_mask(cfg)
@@ -132,13 +144,14 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     z_hi = z_lo + 8.0                        # seeds live near the ground
     zbin = jnp.clip(((z - z_lo) / (z_hi - z_lo) * NB), 0, NB - 1
                     ).astype(jnp.int32)
-    slot = jnp.where(in_hist, pid * NB + zbin, P * NB)
-    hist = jax.ops.segment_sum(in_hist.astype(jnp.int32), slot,
-                               num_segments=P * NB + 1)[:P * NB]
-    hist = hist.reshape(P, NB)
-    zsum = jax.ops.segment_sum(jnp.where(in_hist, z, 0.0), slot,
-                               num_segments=P * NB + 1)[:P * NB]
-    zsum = zsum.reshape(P, NB)
+    # one [P, N] @ [N, 2*NB] matmul yields count- and z-sum histograms
+    zoh = (zbin[:, None] == jnp.arange(NB, dtype=jnp.int32)[None, :]) \
+        & in_hist[:, None]
+    zoh = zoh.astype(jnp.float32)
+    both = psum(in_hist, jnp.concatenate([zoh, zoh * z[:, None]], axis=1),
+                "default")
+    hist = both[:, :NB].astype(jnp.int32)
+    zsum = both[:, NB:]
     cum = jnp.cumsum(hist, axis=1)
     # bin where the cumulative count reaches num_lpr
     need = jnp.minimum(cfg.num_lpr, jnp.maximum(cum[:, -1], 1))
@@ -150,24 +163,25 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     seeds = in_hist & (z < (lpr_height[jnp.clip(pid, 0, P - 1)]
                             + cfg.th_seeds))
 
-    # ---- iterative plane fit: masked segment-sums keyed by patch id
+    # ---- iterative plane fit: one [P, N] @ [N, 10] moment matmul per
+    # masked fit ('highest' precision - second moments need the f32 path,
+    # bf16 MXU passes would swamp the ~1e-2 m^2 patch variances)
+    x, y, zz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    moment_feats = jnp.stack(
+        [jnp.ones_like(x), x, y, zz, x * x, y * y, zz * zz,
+         x * y, x * zz, y * zz], axis=-1)
+
     def fit(mask):
-        seg = jnp.where(mask, pid, P)
-
-        def ssum(v):
-            return jax.ops.segment_sum(jnp.where(mask, v, 0.0), seg,
-                                       num_segments=P + 1)[:P]
-
-        x, y, zz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-        n = ssum(jnp.ones_like(x))
+        m = psum(mask, moment_feats, "highest")
+        n = m[:, 0]
         sn = jnp.maximum(n, 1.0)
-        mx, my, mz = ssum(x) / sn, ssum(y) / sn, ssum(zz) / sn
-        cxx = ssum(x * x) / sn - mx * mx
-        cyy = ssum(y * y) / sn - my * my
-        czz = ssum(zz * zz) / sn - mz * mz
-        cxy = ssum(x * y) / sn - mx * my
-        cxz = ssum(x * zz) / sn - mx * mz
-        cyz = ssum(y * zz) / sn - my * mz
+        mx, my, mz = m[:, 1] / sn, m[:, 2] / sn, m[:, 3] / sn
+        cxx = m[:, 4] / sn - mx * mx
+        cyy = m[:, 5] / sn - my * my
+        czz = m[:, 6] / sn - mz * mz
+        cxy = m[:, 7] / sn - mx * my
+        cxz = m[:, 8] / sn - mx * mz
+        cyz = m[:, 9] / sn - my * mz
         cov = jnp.stack([
             jnp.stack([cxx, cxy, cxz], -1),
             jnp.stack([cxy, cyy, cyz], -1),

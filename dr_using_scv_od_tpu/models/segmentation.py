@@ -193,13 +193,11 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
         if cfg.seg.iteration > 0:
             root_grid = refine_by_intensity(root_grid, grid, cfg)
 
-    # --- compact to cluster table
-    safe_flat = jnp.clip(flat, 0, g - 1)
-    point_roots = jnp.where(in_fov, root_grid[safe_flat], sentinel)
-    roots, point_cluster, n_clusters, overflow = clustering.compact_labels(
-        point_roots, in_fov, cfg.shapes.max_clusters, sentinel)
-    label_grid = clustering.labels_to_grid(
-        roots, root_grid, grid.occupied, sentinel)
+    # --- compact to cluster table (sort-free, off the grid)
+    roots, point_cluster, label_grid, n_clusters, overflow = \
+        clustering.compact_grid_labels(
+            root_grid, grid.occupied, flat, in_fov,
+            cfg.shapes.max_clusters, sentinel)
 
     C = cfg.shapes.max_clusters
     n_points = segment_ops.segment_count(point_cluster, in_fov, C)

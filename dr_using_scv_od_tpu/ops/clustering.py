@@ -117,6 +117,53 @@ def connected_components(occupied: jnp.ndarray, max_iters: int = 64
     return lab
 
 
+def compact_grid_labels(root_grid: jnp.ndarray, occupied: jnp.ndarray,
+                        flat_voxel: jnp.ndarray, in_fov: jnp.ndarray,
+                        max_clusters: int, sentinel: int):
+    """Sort-free cluster compaction straight off the voxel grid.
+
+    Replaces `compact_labels` + `labels_to_grid` on the hot path: those
+    cost a 131k-element sort/unique plus log-depth searchsorted gathers
+    (~128 ms/frame on TPU v5e); this formulation is one cumsum + one
+    gather + one scatter over the [G] grid (~a few ms).
+
+    Root voxels (root_grid[g] == g, occupied) are numbered by an exclusive
+    prefix count in ascending flat-id order - the SAME compact-id order the
+    sorted-unique produced, so results are bit-identical when the cluster
+    count fits `max_clusters` (and both keep the smallest-id clusters when
+    it does not). Every occupied voxel holds >= 1 in-FOV point
+    (ops/quantize.voxel_stats), so grid components == point components.
+
+    Returns (roots [C] int32 padded with `sentinel`,
+             point_cluster [N] int32 (-1 invalid/overflowed),
+             label_grid [G] int32 (-1 empty/overflowed),
+             n_clusters scalar int32,
+             n_dropped_points scalar int32).
+    """
+    C = max_clusters
+    G = root_grid.shape[0]
+    occ = occupied
+    g_iota = jnp.arange(G, dtype=jnp.int32)
+    is_root = occ & (root_grid == g_iota)
+    cid = jnp.cumsum(is_root.astype(jnp.int32)) - 1       # [G] id at root g
+    n_clusters = jnp.minimum(jnp.sum(is_root), C).astype(jnp.int32)
+
+    cid_grid = cid[root_grid]                              # [G] gather
+    in_cap = cid_grid < C
+    label_grid = jnp.where(occ & in_cap, cid_grid, -1).astype(jnp.int32)
+
+    # roots table: scatter each root's flat id into its compact row
+    slot = jnp.where(is_root & (cid < C), cid, C)
+    roots = jnp.full((C + 1,), sentinel, jnp.int32).at[slot].set(
+        g_iota, mode="drop")[:C]
+
+    safe_flat = jnp.clip(flat_voxel, 0, G - 1)
+    point_cluster = jnp.where(in_fov, label_grid[safe_flat], -1)
+    n_dropped = jnp.sum(in_fov & (point_cluster < 0))
+    return (roots, point_cluster.astype(jnp.int32), label_grid,
+            n_clusters, n_dropped.astype(jnp.int32))
+
+
 def compact_labels(point_roots: jnp.ndarray, point_valid: jnp.ndarray,
                    max_clusters: int, sentinel: int
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,234 @@
+"""Component-level TPU timing: each hot op timed as its own rep-loop jit.
+
+Usage: python tools/profile_stages.py [component ...]
+Components: quantize cc ri3 compact segrest patchwork recog track gicp
+(default: all). Prints one line per component to stdout.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _loop(fn, n, *args):
+    import jax
+    import jax.numpy as jnp
+
+    def run(*a):
+        def body(_, acc):
+            out = fn(a[0] + 1e-30 * acc, *a[1:])
+            leaves = [jnp.sum(x.astype(jnp.float32)) for x in
+                      jax.tree.leaves(out)
+                      if hasattr(x, "dtype") and jnp.issubdtype(
+                          jnp.asarray(x).dtype, jnp.number)]
+            if not leaves:
+                return acc + 1.0
+            return acc + 1.0 + 1e-20 * jnp.sum(jnp.stack(leaves))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    return jax.jit(run)
+
+
+def timeit(name, fn, *args, reps=8):
+    t0 = time.perf_counter()
+    jfn = _loop(fn, reps, *args)
+    np.asarray(jfn(*args))
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(jfn(*args))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:<28} {dt * 1e3:9.3f} ms   (compile+warm {t_compile:.1f}s)",
+          flush=True)
+    return dt
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+    from dr_using_scv_od_tpu import config
+    from dr_using_scv_od_tpu.models import patchwork as pw_mod
+    from dr_using_scv_od_tpu.models import recognition, segmentation
+    from dr_using_scv_od_tpu.ops import clustering, quantize
+    from dr_using_scv_od_tpu.utils import synthetic
+
+    which = set(sys.argv[1:]) or {
+        "quantize", "cc", "ri3", "compact", "segrest", "patchwork",
+        "recog", "track", "gicp"}
+
+    cfg = config.semantickitti()
+    scene = synthetic.make_scene()
+    F = 6
+    win = synthetic.render_window(scene, F, cfg.shapes.max_points)
+    xyz = jnp.asarray(win["xyz"])
+    inten = jnp.asarray(win["intensity"])
+    valid = jnp.asarray(win["valid"])
+    poses = jnp.asarray(win["poses"])
+    x0, i0, v0, p0 = xyz[0], inten[0], valid[0], poses[0]
+    shape3 = cfg.grid.shape
+
+    # precompute inputs for downstream pieces (one-off, uncached timing ok)
+    pw = jax.jit(lambda x, v: pw_mod.estimate_ground(
+        x, v, cfg.patchwork))(x0, v0)
+    nonground = pw.nonground
+    _, flat, in_fov = jax.jit(
+        lambda x, ng: quantize.quantize(x, ng, cfg.grid))(x0, nonground)
+    grid = jax.jit(lambda f, i, m: quantize.voxel_stats(
+        f, i, m, cfg.grid))(flat, i0, in_fov)
+    occ3 = grid.occupied.reshape(shape3)
+
+    if "quantize" in which:
+        timeit("quantize+voxel_stats",
+               lambda x, i, ng: quantize.voxel_stats(
+                   *(lambda t: (t[1], i, t[2]))(
+                       quantize.quantize(x, ng, cfg.grid)), cfg.grid),
+               x0, i0, nonground)
+
+    if "cc" in which:
+        from dr_using_scv_od_tpu.ops.pallas import cc_kernel
+        timeit("cc_pallas",
+               lambda o3: cc_kernel.connected_components_pallas(o3 != 0),
+               occ3.astype(jnp.float32))
+
+    root = None
+    if which & {"ri3", "compact", "compact2", "segrest"}:
+        from dr_using_scv_od_tpu.ops.pallas import cc_kernel
+        root = jax.jit(cc_kernel.connected_components_pallas)(occ3)
+
+    if "ri3" in which:
+        from dr_using_scv_od_tpu.ops.pallas import ri3_kernel
+        timeit("ri3_pallas",
+               lambda r: ri3_kernel.refine_by_intensity_pallas(
+                   r.astype(jnp.int32), grid.count, grid.intensity_mean,
+                   grid.intensity_var, shape3, cfg.seg.search_c,
+                   cfg.seg.intensity_cov, cfg.seg.intensity_diff,
+                   cfg.seg.far_range_frac),
+               root.astype(jnp.float32))
+
+    if "compact2" in which:
+        g = cfg.grid.bin_num
+
+        def compact2(r):
+            return clustering.compact_grid_labels(
+                r.astype(jnp.int32), grid.occupied, flat, in_fov,
+                cfg.shapes.max_clusters, g)
+        timeit("compact_grid_labels", compact2, root.astype(jnp.float32))
+
+    if "compact" in which:
+        g = cfg.grid.bin_num
+        sentinel = g
+
+        def compact(r):
+            r = r.astype(jnp.int32)
+            safe_flat = jnp.clip(flat, 0, g - 1)
+            point_roots = jnp.where(in_fov, r[safe_flat], sentinel)
+            roots, point_cluster, n, ovf = clustering.compact_labels(
+                point_roots, in_fov, cfg.shapes.max_clusters, sentinel)
+            lg = clustering.labels_to_grid(roots, r, grid.occupied, sentinel)
+            return roots, point_cluster, lg
+        timeit("compact+grid", compact, root.astype(jnp.float32))
+
+    if "segrest" in which:
+        timeit("segment_frame FULL",
+               lambda x, i, ng, g_, d: segmentation.segment_frame(
+                   x, i, ng, g_, d, cfg),
+               x0, i0, nonground, pw.ground, pw.dropped)
+
+    if "patchwork" in which:
+        timeit("patchwork FULL",
+               lambda x, v: pw_mod.estimate_ground(x, v, cfg.patchwork),
+               x0, v0)
+        # pieces
+        P = cfg.patchwork.num_patches
+
+        def pid_only(x, v):
+            return pw_mod._patch_id(x, v, cfg.patchwork)
+        timeit("  patch_id", pid_only, x0, v0)
+
+        def hist_part(x, v):
+            pid = pw_mod._patch_id(x, v, cfg.patchwork)
+            NB = 128
+            z = x[..., 2]
+            binned = pid < P
+            zbin = jnp.clip(((z + 3.2) / 8.0 * NB), 0, NB - 1).astype(jnp.int32)
+            slot = jnp.where(binned, pid * NB + zbin, P * NB)
+            hist = jax.ops.segment_sum(binned.astype(jnp.int32), slot,
+                                       num_segments=P * NB + 1)
+            return hist
+        timeit("  z-histogram scatter", hist_part, x0, v0)
+
+        def fits(x, v):
+            pid = pw_mod._patch_id(x, v, cfg.patchwork)
+            mask = pid < P
+
+            def ssum(val):
+                return jax.ops.segment_sum(
+                    jnp.where(mask, val, 0.0), jnp.where(mask, pid, P),
+                    num_segments=P + 1)[:P]
+            xx, yy, zz = x[:, 0], x[:, 1], x[:, 2]
+            outs = [ssum(v_) for v_ in
+                    (jnp.ones_like(xx), xx, yy, zz, xx * xx, yy * yy,
+                     zz * zz, xx * yy, xx * zz, yy * zz)]
+            return outs
+        timeit("  one plane-fit ssum x10", fits, x0, v0)
+
+    if "recog" in which:
+        seg, point_voxel, _ = jax.jit(
+            lambda x, i, ng, g_, d: segmentation.segment_frame(
+                x, i, ng, g_, d, cfg))(x0, i0, nonground, pw.ground,
+                                       pw.dropped)
+        timeit("recognize FULL",
+               lambda x, pc, pv: recognition.recognize(
+                   seg.clusters, x, pc.astype(jnp.int32),
+                   pv.astype(jnp.int32), cfg),
+               x0, seg.point_cluster.astype(jnp.float32),
+               point_voxel.astype(jnp.float32))
+        timeit("  voxel_planarity",
+               lambda x, pv: recognition.voxel_planarity(
+                   x, pv.astype(jnp.int32),
+                   pv.astype(jnp.int32) >= 0, cfg),
+               x0, point_voxel.astype(jnp.float32))
+
+    if "track" in which:
+        from dr_using_scv_od_tpu.models import pipeline, tracking
+        frames = jax.jit(lambda *a: pipeline.process_window(*a, cfg))(
+            xyz, inten, valid, poses)
+        in_grid = frames.state.point_voxel >= 0
+        timeit("tracking window(6)/frame",
+               lambda x, pv, pva, lg, po: tracking.track_window(
+                   x, pv.astype(jnp.int32), pva, lg.astype(jnp.int32),
+                   frames.state.clusters, po, cfg),
+               xyz, frames.state.point_voxel.astype(jnp.float32),
+               in_grid & valid,
+               frames.state.label_grid.astype(jnp.float32), poses)
+
+    if "gicp" in which:
+        from dr_using_scv_od_tpu.models import gicp
+        gcfg = cfg.gicp
+        timeit("gicp build_voxel_map",
+               lambda x, v: gicp.build_voxel_map(x, v, gcfg), x0, v0)
+        vm = jax.jit(lambda x, v: gicp.build_voxel_map(x, v, gcfg))(x0, v0)
+        timeit("gicp finalize_target",
+               lambda n, sx, sxx: gicp.finalize_target(
+                   gicp.VoxelMap(n, sx, sxx, jnp.zeros((), jnp.int32)),
+                   gcfg),
+               vm.n, vm.sum_x, vm.sum_xx)
+        tgt = jax.jit(lambda: gicp.finalize_target(vm, gcfg))()
+
+        def one_gn(x, v):
+            import dataclasses
+            c1 = dataclasses.replace(gcfg, max_iters=1)
+            return gicp.register(x, v, tgt, c1).T
+        timeit("gicp 1 GN iter", one_gn, xyz[1], valid[1])
+        timeit("gicp register_pyramid pair",
+               lambda x, v: gicp.register_pyramid(x, v, vm, gcfg).T,
+               xyz[1], valid[1])
+
+
+if __name__ == "__main__":
+    main()
