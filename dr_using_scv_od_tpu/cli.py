@@ -147,6 +147,76 @@ def cmd_segdf(args):
     return 0
 
 
+def cmd_bench_table(args):
+    """Emit the BASELINE.md-shaped parity table: per-sequence profiles x
+    {full, -RI3, -TC} x occupancy {0.2, 0.5, 0.8}, plus an 'ours+' row
+    with the beyond-reference dynamic-footprint sweep enabled.
+
+    Parity rows run with `dynamic_bbox_sweep` OFF so they measure the
+    reference's verdict semantics alone; the extension is reported
+    separately. With --data pointing at SemanticKITTI the per-profile
+    window (sequence: start/end in the YAML) is used; on synthetic data
+    every profile runs the same generated window, so rows differ only by
+    the profile's knobs.
+    """
+    import yaml
+
+    import jax.numpy as jnp
+    from . import config, config_yaml
+    from .eval import metrics
+
+    from .models import pipeline
+
+    profile_paths = sorted(Path(args.profiles).glob("*.yaml"))
+    if not profile_paths:
+        print(f"no profiles in {args.profiles}", file=sys.stderr)
+        return 1
+
+    thresholds = tuple(float(t) for t in args.thresholds.split(","))
+    print("| sequence | variant | occupancy | PR | RR | F1 |")
+    print("|---|---|---|---|---|---|")
+
+    base = getattr(config, args.profile)()
+    for path in profile_paths:
+        cfg = config_yaml.load(path, base=base)
+        with open(path) as f:
+            meta = (yaml.safe_load(f) or {}).get("sequence", {})
+        seq = str(meta.get("id", path.stem))
+        if args.data != "synthetic" and meta:
+            args.start = int(meta.get("start", args.start))
+            args.end = int(meta.get("end", args.end))
+        win_j, _ = _load_window(args, cfg)
+
+        def run_variant(cfg_v, label, thr_list):
+            for thr in thr_list:
+                cfg_t = dataclasses.replace(cfg_v, track=dataclasses.replace(
+                    cfg_v.track, occupancy=thr))
+                res = pipeline.run_window(
+                    win_j["xyz"], win_j["intensity"], win_j["valid"],
+                    win_j["poses"], cfg_t)
+                F = win_j["xyz"].shape[0]
+                m = metrics.removal_metrics(
+                    win_j["label"][:F - 1].reshape(-1),
+                    res.removed[:F - 1].reshape(-1),
+                    win_j["valid"][:F - 1].reshape(-1))
+                print(f"| {seq} | {label} | {thr:.1f} | {m.pr:.2f} "
+                      f"| {m.rr:.2f} | {m.f1:.4f} |", flush=True)
+
+        parity = dataclasses.replace(cfg, track=dataclasses.replace(
+            cfg.track, dynamic_bbox_sweep=False))
+        run_variant(parity, "full", thresholds)
+        run_variant(
+            dataclasses.replace(parity, seg=dataclasses.replace(
+                parity.seg, iteration=0)),
+            "-RI3", (cfg.track.occupancy,))
+        run_variant(
+            dataclasses.replace(parity, track=dataclasses.replace(
+                parity.track, enable_compensation=False)),
+            "-TC", (cfg.track.occupancy,))
+        run_variant(cfg, "ours+sweep", (cfg.track.occupancy,))
+    return 0
+
+
 def cmd_slam(args):
     """Streaming odometry+mapping engine over a scan sequence: GICP
     scan-to-map odometry -> segmentation/tracking -> keyframe submaps ->
@@ -491,6 +561,17 @@ def main(argv=None):
     sp = sub.add_parser("odometry", help="GICP window odometry + ATE")
     common(sp)
     sp.set_defaults(fn=cmd_odometry)
+
+    sp = sub.add_parser(
+        "bench-table",
+        help="BASELINE.md-shaped parity table: profiles x ablations x "
+             "occupancy sweep")
+    common(sp)
+    sp.add_argument("--profiles", default="configs",
+                    help="directory of per-sequence YAML profiles")
+    sp.add_argument("--thresholds", default="0.2,0.5,0.8",
+                    help="comma-separated occupancy thresholds")
+    sp.set_defaults(fn=cmd_bench_table)
 
     sp = sub.add_parser(
         "slam", help="streaming odometry+mapping engine (no GT poses)")

@@ -207,6 +207,11 @@ class GicpConfig:
 
     voxel_size: float = 1.0
     max_iters: int = 30
+    # Gauss-Newton updates per correspondence pass: each outer pass pays
+    # the TPU-expensive voxel lookup + target gathers once, then runs this
+    # many relinearised steps against the frozen per-voxel Gaussians
+    # (correspondences barely move between nearby iterates at ~1 m voxels).
+    inner_iters: int = 3
     tolerance: float = 1e-4
     min_pts_per_voxel: int = 4
     # Covariance regularisation: eigenvalues scaled to (1, 1, eps) as in GICP

@@ -13,7 +13,7 @@ from typing import Dict, List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import PipelineConfig, TrackingConfig
+from ..config import PipelineConfig
 from ..models import pipeline as pipeline_mod
 from ..models import tracking as tracking_mod
 from . import metrics
@@ -23,8 +23,16 @@ def occupancy_sweep(xyz: jnp.ndarray, intensity: jnp.ndarray,
                     valid: jnp.ndarray, poses: jnp.ndarray,
                     labels: jnp.ndarray, cfg: PipelineConfig,
                     thresholds: Sequence[float] = (0.2, 0.4, 0.5, 0.6, 0.8),
-                    judged_only: bool = True) -> List[Dict]:
-    """Returns one {threshold, pr, rr, f1} row per occupancy value."""
+                    judged_only: bool = True,
+                    compensation: bool | None = None) -> List[Dict]:
+    """Returns one {threshold, pr, rr, f1} row per occupancy value.
+
+    `compensation`: override TrackingConfig.enable_compensation for the
+    sweep (None keeps cfg's setting) - the "-TC" ablation axis the
+    reference's own sensitivity study never separated (doc/note.txt:83-101).
+    All other tracking settings of `cfg.track` are preserved per-row
+    (dataclasses.replace, not a fresh TrackingConfig).
+    """
     import dataclasses
 
     frames = pipeline_mod.process_window(xyz, intensity, valid, poses, cfg)
@@ -36,7 +44,11 @@ def occupancy_sweep(xyz: jnp.ndarray, intensity: jnp.ndarray,
 
     rows = []
     for thr in thresholds:
-        cfg_t = dataclasses.replace(cfg, track=TrackingConfig(occupancy=thr))
+        track_kw = {"occupancy": thr}
+        if compensation is not None:
+            track_kw["enable_compensation"] = compensation
+        cfg_t = dataclasses.replace(
+            cfg, track=dataclasses.replace(cfg.track, **track_kw))
         tr = tracking_mod.track_window(
             xyz, frames.state.point_voxel, pt_valid,
             frames.state.label_grid, frames.state.clusters, poses, cfg_t)

@@ -8,16 +8,25 @@ odometry the north star requires, designed TPU-first in the spirit of VGICP
 
   * the target scan/map becomes per-voxel Gaussians on a bounded Cartesian
     grid - means/covariances via scalar segment-sums (one pass, no kd-tree);
-  * covariances are regularised to plane-like ellipsoids via the batched
-    closed-form 3x3 eigendecomposition (ops/plane.py), eigenvalues scaled
-    to (eps, 1, 1) as in GICP's plane-to-plane model;
+  * covariances are regularised to plane-like ellipsoids; the GICP weight
+    W = (C_reg + delta I)^-1 comes from a closed-form Sherman-Morrison
+    identity (C_reg = lam_max (I - (1-eps) n n^T) needs only the dominant
+    eigenvalue and the plane normal - no 3x3 inverse, no eigenvector
+    basis);
   * correspondence is O(1): a source point looks up the voxel it lands in
     (plus nothing else - VGICP's single-voxel variant);
-  * each Gauss-Newton iteration is two MXU matmuls: H = J^T W J summed over
-    points via einsum, solved as a 6x6 system, update via exp_se3.
+  * Gauss-Newton runs as OUTER correspondence passes (voxel lookup +
+    target gathers) around INNER relinearised steps that reuse the frozen
+    correspondences - the expensive gathers amortise over several updates.
 
-All loops are `lax.while_loop`s with static caps; every tensor is fixed
-shape.
+TPU layout discipline: everything is STRUCTURE-OF-ARRAYS - [G] / [N]
+scalar planes, never [N,3,3] / [G,3,3] stacks. TPU tiles pad the two
+minor dims to (8,128); a [1M,3,3] covariance tensor wastes 42x the
+lanes and made the original formulation ~100 ms per finalize. The scalar
+form keeps every op at full lane utilisation.
+
+All loops are `lax.while_loop`/`fori_loop` with static caps; every tensor
+is fixed shape.
 """
 
 from __future__ import annotations
@@ -28,16 +37,17 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GicpConfig
-from ..ops import geometry, plane as plane_ops
+from ..ops import geometry
 
 
 class VoxelMap(NamedTuple):
     """Running Gaussian statistics per Cartesian voxel (sums, so maps merge
     by addition - the basis for incremental scan-to-map odometry and the
-    distributed keyframe-block map)."""
+    distributed keyframe-block map). SoA layout: component-major so the
+    [G] axis rides the 128-lane dimension."""
     n: jnp.ndarray      # [G]
-    sum_x: jnp.ndarray  # [G,3]
-    sum_xx: jnp.ndarray  # [G,6]  (xx,yy,zz,xy,xz,yz)
+    sum_x: jnp.ndarray  # [3,G]
+    sum_xx: jnp.ndarray  # [6,G]  (xx,yy,zz,xy,xz,yz)
     n_oob: jnp.ndarray  # scalar int32 - valid points outside the grid
     #                     bounds (cfg.xy_extent / z_min / z_max); counted,
     #                     never silently dropped
@@ -49,15 +59,17 @@ class VoxelMap(NamedTuple):
 
 
 class GicpTarget(NamedTuple):
-    """Finalized per-voxel Gaussians with precomputed GICP weights."""
-    mean: jnp.ndarray    # [G,3]
-    weight: jnp.ndarray  # [G,6] packed symmetric W = (C_reg + eps I)^-1
+    """Finalized per-voxel Gaussians with precomputed GICP weights
+    (component-major SoA: mean [3,G], weight [6,G] packed symmetric
+    (w00,w11,w22,w01,w02,w12))."""
+    mean: jnp.ndarray    # [3,G]
+    weight: jnp.ndarray  # [6,G]
     valid: jnp.ndarray   # [G] bool
 
 
 class GicpResult(NamedTuple):
     T: jnp.ndarray          # [4,4] target_T_source
-    n_iters: jnp.ndarray    # int32
+    n_iters: jnp.ndarray    # int32 (outer correspondence passes)
     final_error: jnp.ndarray  # mean Mahalanobis cost (weighted)
     n_corr: jnp.ndarray     # int32 correspondences at convergence
     rmse: jnp.ndarray       # Euclidean RMS residual of inliers (metres)
@@ -71,19 +83,21 @@ def _grid_dims(cfg: GicpConfig):
     return nxy, nz
 
 
-def voxel_index(xyz: jnp.ndarray, valid: jnp.ndarray, cfg: GicpConfig):
-    """Flat Cartesian voxel id; -1 for out-of-bound/invalid."""
+def _voxel_index_s(x, y, z, valid, cfg: GicpConfig):
+    """Flat Cartesian voxel id from scalar coordinate planes."""
     nxy, nz = _grid_dims(cfg)
-    ix = jnp.floor((xyz[:, 0] + cfg.xy_extent)
-                   / cfg.voxel_size).astype(jnp.int32)
-    iy = jnp.floor((xyz[:, 1] + cfg.xy_extent)
-                   / cfg.voxel_size).astype(jnp.int32)
-    iz = jnp.floor((xyz[:, 2] - cfg.z_min)
-                   / cfg.voxel_size).astype(jnp.int32)
+    ix = jnp.floor((x + cfg.xy_extent) / cfg.voxel_size).astype(jnp.int32)
+    iy = jnp.floor((y + cfg.xy_extent) / cfg.voxel_size).astype(jnp.int32)
+    iz = jnp.floor((z - cfg.z_min) / cfg.voxel_size).astype(jnp.int32)
     ok = (valid & (ix >= 0) & (ix < nxy) & (iy >= 0) & (iy < nxy)
           & (iz >= 0) & (iz < nz))
     flat = (ix * nxy + iy) * nz + iz
     return jnp.where(ok, flat, -1), ok
+
+
+def voxel_index(xyz: jnp.ndarray, valid: jnp.ndarray, cfg: GicpConfig):
+    """Flat Cartesian voxel id; -1 for out-of-bound/invalid."""
+    return _voxel_index_s(xyz[:, 0], xyz[:, 1], xyz[:, 2], valid, cfg)
 
 
 def build_voxel_map(xyz: jnp.ndarray, valid: jnp.ndarray,
@@ -101,75 +115,112 @@ def build_voxel_map(xyz: jnp.ndarray, valid: jnp.ndarray,
 
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     n = ssum(jnp.ones_like(x))
-    sum_x = jnp.stack([ssum(x), ssum(y), ssum(z)], axis=-1)
+    sum_x = jnp.stack([ssum(x), ssum(y), ssum(z)], axis=0)
     sum_xx = jnp.stack([ssum(x * x), ssum(y * y), ssum(z * z),
-                        ssum(x * y), ssum(x * z), ssum(y * z)], axis=-1)
+                        ssum(x * y), ssum(x * z), ssum(y * z)], axis=0)
     n_oob = jnp.sum(valid & ~ok).astype(jnp.int32)
     return VoxelMap(n=n, sum_x=sum_x, sum_xx=sum_xx, n_oob=n_oob)
 
 
+def _eig3_lo_hi(c00, c01, c02, c11, c12, c22):
+    """Smallest/largest eigenvalues of symmetric 3x3 batches given as six
+    [G] scalar planes (Smith's trigonometric closed form, SoA layout)."""
+    q = (c00 + c11 + c22) / 3.0
+    b00, b11, b22 = c00 - q, c11 - q, c22 - q
+    p2 = (b00 ** 2 + b11 ** 2 + b22 ** 2
+          + 2.0 * (c01 ** 2 + c02 ** 2 + c12 ** 2))
+    iso = p2 <= 1e-18
+    p = jnp.sqrt(jnp.where(iso, 1.0, p2 / 6.0))
+    detB = (b00 * (b11 * b22 - c12 ** 2)
+            - c01 * (c01 * b22 - c12 * c02)
+            + c02 * (c01 * c12 - b11 * c02))
+    r = jnp.clip(detB / (2.0 * p ** 3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = jnp.where(iso, q, q + 2.0 * p * jnp.cos(phi))
+    e_lo = jnp.where(iso, q, q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0))
+    return e_lo, e_hi
+
+
+def _normal_from_cov(c00, c01, c02, c11, c12, c22, lam):
+    """Unit eigenvector for eigenvalue `lam` (the plane normal when lam is
+    the smallest eigenvalue), scalar planes in, scalar planes out.
+    Cross-product row recovery with a degenerate fallback to +z."""
+    r0x, r0y, r0z = c00 - lam, c01, c02
+    r1x, r1y, r1z = c01, c11 - lam, c12
+    r2x, r2y, r2z = c02, c12, c22 - lam
+
+    def cross(ax, ay, az, bx, by, bz):
+        return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+    ax01, ay01, az01 = cross(r0x, r0y, r0z, r1x, r1y, r1z)
+    ax02, ay02, az02 = cross(r0x, r0y, r0z, r2x, r2y, r2z)
+    ax12, ay12, az12 = cross(r1x, r1y, r1z, r2x, r2y, r2z)
+    n01 = ax01 ** 2 + ay01 ** 2 + az01 ** 2
+    n02 = ax02 ** 2 + ay02 ** 2 + az02 ** 2
+    n12 = ax12 ** 2 + ay12 ** 2 + az12 ** 2
+
+    use02 = n02 > n01
+    bx = jnp.where(use02, ax02, ax01)
+    by = jnp.where(use02, ay02, ay01)
+    bz = jnp.where(use02, az02, az01)
+    bn = jnp.maximum(n01, n02)
+    use12 = n12 > bn
+    bx = jnp.where(use12, ax12, bx)
+    by = jnp.where(use12, ay12, by)
+    bz = jnp.where(use12, az12, bz)
+    bn = jnp.maximum(bn, n12)
+
+    safe = bn > 1e-24
+    inv = jax.lax.rsqrt(jnp.maximum(bn, 1e-30))
+    vx = jnp.where(safe, bx * inv, 0.0)
+    vy = jnp.where(safe, by * inv, 0.0)
+    vz = jnp.where(safe, bz * inv, 1.0)
+    return vx, vy, vz
+
+
 def finalize_target(vm: VoxelMap, cfg: GicpConfig) -> GicpTarget:
-    """Means + regularized inverse covariances per occupied voxel."""
+    """Means + regularized inverse covariances per occupied voxel.
+
+    W = (C_reg + delta I)^-1 with C_reg = lam_max (I - (1-eps) n n^T)
+    (the GICP plane-to-plane model: eigenvalues scaled to (eps,1,1)),
+    expanded via Sherman-Morrison:
+        W = (1/a) I + (b / (a (a - b))) n n^T,
+        a = lam_max + delta,  b = lam_max (1 - eps).
+    Identical to inverting the regularised covariance, ~60 scalar ops per
+    voxel instead of an eigenvector-basis reconstruction + 3x3 inverse.
+    """
     n = jnp.maximum(vm.n, 1.0)
-    mean = vm.sum_x / n[:, None]
-    xx = vm.sum_xx / n[:, None]
-    cxx = xx[:, 0] - mean[:, 0] ** 2
-    cyy = xx[:, 1] - mean[:, 1] ** 2
-    czz = xx[:, 2] - mean[:, 2] ** 2
-    cxy = xx[:, 3] - mean[:, 0] * mean[:, 1]
-    cxz = xx[:, 4] - mean[:, 0] * mean[:, 2]
-    cyz = xx[:, 5] - mean[:, 1] * mean[:, 2]
-    cov = jnp.stack([
-        jnp.stack([cxx, cxy, cxz], -1),
-        jnp.stack([cxy, cyy, cyz], -1),
-        jnp.stack([cxz, cyz, czz], -1),
-    ], axis=-2)
-    evals, evecs = plane_ops.eigh3x3(cov)
-    # GICP plane-to-plane regularisation: eigenvalues -> (eps, 1, 1)
-    scale = jnp.maximum(evals[:, 2:3], 1e-9)
-    reg = jnp.stack([jnp.full_like(scale[:, 0], cfg.plane_eps),
-                     jnp.ones_like(scale[:, 0]),
-                     jnp.ones_like(scale[:, 0])], axis=-1) * scale
-    C = jnp.einsum('gik,gk,gjk->gij', evecs, reg, evecs)
-    # W = (C + eps I)^-1, closed-form symmetric 3x3 inverse
-    C = C + 1e-3 * jnp.eye(3)
-    W = _inv3x3_sym(C)
-    w_packed = jnp.stack([W[:, 0, 0], W[:, 1, 1], W[:, 2, 2],
-                          W[:, 0, 1], W[:, 0, 2], W[:, 1, 2]], axis=-1)
-    # degenerate covariances (collinear voxel points) can NaN the
-    # closed-form eigendecomposition; drop those voxels' weight to zero
-    # rather than poisoning the normal equations
-    w_packed = jnp.where(jnp.all(jnp.isfinite(w_packed), axis=-1,
-                                 keepdims=True), w_packed, 0.0)
+    mx, my, mz = vm.sum_x[0] / n, vm.sum_x[1] / n, vm.sum_x[2] / n
+    c00 = vm.sum_xx[0] / n - mx * mx
+    c11 = vm.sum_xx[1] / n - my * my
+    c22 = vm.sum_xx[2] / n - mz * mz
+    c01 = vm.sum_xx[3] / n - mx * my
+    c02 = vm.sum_xx[4] / n - mx * mz
+    c12 = vm.sum_xx[5] / n - my * mz
+
+    e_lo, e_hi = _eig3_lo_hi(c00, c01, c02, c11, c12, c22)
+    vx, vy, vz = _normal_from_cov(c00, c01, c02, c11, c12, c22, e_lo)
+
+    delta = 1e-3
+    lam = jnp.maximum(e_hi, 1e-9)
+    a = lam + delta
+    b = lam * (1.0 - cfg.plane_eps)
+    k = b / (a * (a - b))
+    inv_a = 1.0 / a
+    w00 = inv_a + k * vx * vx
+    w11 = inv_a + k * vy * vy
+    w22 = inv_a + k * vz * vz
+    w01 = k * vx * vy
+    w02 = k * vx * vz
+    w12 = k * vy * vz
+    weight = jnp.stack([w00, w11, w22, w01, w02, w12], axis=0)
+    # non-finite guard (degenerate covariances): zero weight, never poison
+    # the normal equations
+    weight = jnp.where(jnp.all(jnp.isfinite(weight), axis=0,
+                               keepdims=True), weight, 0.0)
+    mean = jnp.stack([mx, my, mz], axis=0)
     valid = vm.n >= cfg.min_pts_per_voxel
-    return GicpTarget(mean=mean, weight=w_packed, valid=valid)
-
-
-def _inv3x3_sym(C: jnp.ndarray) -> jnp.ndarray:
-    a, b, c = C[..., 0, 0], C[..., 0, 1], C[..., 0, 2]
-    d, e, f = C[..., 1, 1], C[..., 1, 2], C[..., 2, 2]
-    A = d * f - e * e
-    B = c * e - b * f
-    Cc = b * e - c * d
-    D = a * f - c * c
-    E = b * c - a * e
-    F = a * d - b * b
-    det = a * A + b * B + c * Cc
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    inv = jnp.stack([
-        jnp.stack([A, B, Cc], -1),
-        jnp.stack([B, D, E], -1),
-        jnp.stack([Cc, E, F], -1),
-    ], axis=-2) / det[..., None, None]
-    return inv
-
-
-def _unpack_w(w: jnp.ndarray) -> jnp.ndarray:
-    return jnp.stack([
-        jnp.stack([w[..., 0], w[..., 3], w[..., 4]], -1),
-        jnp.stack([w[..., 3], w[..., 1], w[..., 5]], -1),
-        jnp.stack([w[..., 4], w[..., 5], w[..., 2]], -1),
-    ], axis=-2)
+    return GicpTarget(mean=mean, weight=weight, valid=valid)
 
 
 def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
@@ -178,37 +229,89 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
     """Gauss-Newton alignment of a source scan to a voxelized target.
 
     Returns T with target_point ~= T @ source_point.
+
+    Structure: each OUTER pass re-establishes correspondences (voxel
+    lookup + 10 gathers of target stats) and then runs `cfg.inner_iters`
+    relinearised Gauss-Newton updates against those frozen Gaussians -
+    with ~1 m voxels the correspondences barely change between nearby
+    iterates, so the gathers (the TPU-expensive part) amortise ~3x. The
+    per-point math is pure scalar planes; the only non-elementwise ops
+    per inner step are ~30 [N]-length reductions and one 6x6 solve.
     """
     if T_init is None:
         T_init = jnp.eye(4, dtype=source_xyz.dtype)
     nxy, nz = _grid_dims(cfg)
     G = nxy * nxy * nz
+    inner = max(int(cfg.inner_iters), 1)
+    outer_cap = -(-int(cfg.max_iters) // inner)
 
-    def gather_target(flat, ok):
-        f = jnp.clip(flat, 0, G - 1)
-        ok = ok & target.valid[f]
-        mean = jnp.stack([target.mean[:, 0][f], target.mean[:, 1][f],
-                          target.mean[:, 2][f]], axis=-1)
-        w = jnp.stack([target.weight[:, k][f] for k in range(6)], axis=-1)
-        return mean, w, ok
+    sx = source_xyz[:, 0]
+    sy = source_xyz[:, 1]
+    sz = source_xyz[:, 2]
+    max_d2 = cfg.max_corr_dist ** 2
 
-    def step(state):
-        T, it, _, _, _, delta = state
-        p = geometry.transform_points(T, source_xyz)
-        flat, ok = voxel_index(p, source_valid, cfg)
-        mean, w_packed, ok = gather_target(flat, ok)
-        r = mean - p
-        ok = ok & (jnp.sum(r * r, -1) < cfg.max_corr_dist ** 2)
-        W = _unpack_w(w_packed) * ok[:, None, None]
+    def warp(T):
+        R, t = T[:3, :3], T[:3, 3]
+        px = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
+        py = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
+        pz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
+        return px, py, pz
 
-        # J = [-I | [p]x]  (r(xi) ~= r0 - delta + [p]x omega)
-        Px = geometry.hat(p)
-        J = jnp.concatenate([
-            -jnp.broadcast_to(jnp.eye(3, dtype=p.dtype),
-                              (p.shape[0], 3, 3)), Px], axis=-1)  # [N,3,6]
-        WJ = jnp.einsum('nij,njk->nik', W, J)
-        H = jnp.einsum('nji,njk->ik', J, WJ)
-        g = jnp.einsum('nji,nj->i', WJ, r)
+    def gn_step(T, gathered):
+        mx, my, mz, w00, w11, w22, w01, w02, w12, okg = gathered
+        px, py, pz = warp(T)
+        rx, ry, rz = mx - px, my - py, mz - pz
+        d2 = rx * rx + ry * ry + rz * rz
+        m = (okg & (d2 < max_d2)).astype(source_xyz.dtype)
+
+        qx = (w00 * rx + w01 * ry + w02 * rz) * m
+        qy = (w01 * rx + w11 * ry + w12 * rz) * m
+        qz = (w02 * rx + w12 * ry + w22 * rz) * m
+
+        # M = W [p]x  (columns of [p]x: (0,pz,-py), (-pz,0,px), (py,-px,0))
+        M00 = w01 * pz - w02 * py
+        M01 = -w00 * pz + w02 * px
+        M02 = w00 * py - w01 * px
+        M10 = w11 * pz - w12 * py
+        M11 = -w01 * pz + w12 * px
+        M12 = w01 * py - w11 * px
+        M20 = w12 * pz - w22 * py
+        M21 = -w02 * pz + w22 * px
+        M22 = w02 * py - w12 * px
+        # A = [p]x M   (H_rr = [p]x^T W [p]x = -A)
+        A00 = -pz * M10 + py * M20
+        A01 = -pz * M11 + py * M21
+        A02 = -pz * M12 + py * M22
+        A11 = pz * M01 - px * M21
+        A12 = pz * M02 - px * M22
+        A22 = -py * M02 + px * M12
+
+        # ONE fused reduction for every accumulator (30 separate [N] sums
+        # cost ~30 reduction passes; a single [30, N] row-sum is one)
+        planes = jnp.stack([
+            w00 * m, w01 * m, w02 * m, w11 * m, w12 * m, w22 * m,  # H_tt
+            M00 * m, M01 * m, M02 * m, M10 * m, M11 * m, M12 * m,  # H_tr
+            M20 * m, M21 * m, M22 * m,
+            A00 * m, A01 * m, A02 * m, A11 * m, A12 * m, A22 * m,  # H_rr
+            qx, qy, qz,                                            # g_t
+            py * qz - pz * qy, pz * qx - px * qz, px * qy - py * qx,
+            rx * qx + ry * qy + rz * qz,                           # err
+            d2 * m, m])
+        S = jnp.sum(planes, axis=1)
+        (s00, s01, s02, s11, s12, s22,
+         m00, m01, m02, m10, m11_, m12_,
+         m20, m21, m22,
+         a00, a01, a02, a11, a12, a22,
+         gqx, gqy, gqz, gcx, gcy, gcz, serr, sd2, n_ok) = S
+
+        # H blocks: H_tt = sum W, H_tr = -sum M, H_rr = -sum A
+        htt = jnp.array([[s00, s01, s02], [s01, s11, s12], [s02, s12, s22]])
+        htr = -jnp.array([[m00, m01, m02], [m10, m11_, m12_],
+                          [m20, m21, m22]])
+        hrr = -jnp.array([[a00, a01, a02], [a01, a11, a12], [a02, a12, a22]])
+        H = jnp.block([[htt, htr], [htr.T, hrr]])
+        # g = J^T W r with J = [-I | [p]x]: g_t = -sum q, g_r = -sum p x q
+        g = -jnp.array([gqx, gqy, gqz, gcx, gcy, gcz])
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
         dxi = -jnp.linalg.solve(H, g)
         # a singular solve yields inf/nan - zero the step instead of letting
@@ -216,33 +319,64 @@ def register(source_xyz: jnp.ndarray, source_valid: jnp.ndarray,
         dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
         # trust region: cap the step so a degenerate Hessian (correspondence
         # collapse) cannot fling the iterate to infinity; skip the update
-        # entirely below 6 correspondences (6-DoF problem underdetermined)
+        # entirely below 6 correspondences (6-DoF underdetermined)
         tn = jnp.linalg.norm(dxi[:3])
         rn = jnp.linalg.norm(dxi[3:])
         scale = jnp.minimum(1.0, jnp.minimum(
             cfg.max_step_t / jnp.maximum(tn, 1e-12),
             cfg.max_step_r / jnp.maximum(rn, 1e-12)))
-        dxi = dxi * scale * (jnp.sum(ok) >= 6)
-        n_ok = jnp.maximum(jnp.sum(ok), 1)
-        err = jnp.einsum('ni,nij,nj->', r, W, r) / n_ok
-        rmse = jnp.sqrt(jnp.sum(jnp.sum(r * r, -1) * ok) / n_ok)
+        dxi = dxi * scale * (n_ok >= 6)
+        sn = jnp.maximum(n_ok, 1.0)
+        err = serr / sn
+        rmse = jnp.sqrt(sd2 / sn)
         T_new = geometry.exp_se3(dxi) @ T
-        return (T_new, it + 1, err, jnp.sum(ok).astype(jnp.int32),
-                rmse, jnp.linalg.norm(dxi))
+        stats = (err, n_ok.astype(jnp.int32), rmse, jnp.linalg.norm(dxi))
+        return T_new, stats
+
+    # one [9, G] stats plane so each correspondence pass is a SINGLE
+    # shared-index gather instead of nine
+    tgt_all = jnp.concatenate([target.mean, target.weight], axis=0)
+
+    def outer(state):
+        T, it, _, _, _, _ = state
+        px, py, pz = warp(T)
+        flat, ok = _voxel_index_s(px, py, pz, source_valid, cfg)
+        f = jnp.clip(flat, 0, G - 1)
+        okg = ok & target.valid[f]
+        ga = tgt_all[:, f]
+        gathered = (ga[0], ga[1], ga[2], ga[3], ga[4], ga[5], ga[6],
+                    ga[7], ga[8], okg)
+
+        def inner_body(i, carry):
+            T, _, first_delta = carry
+            T_new, stats = gn_step(T, gathered)
+            # convergence must be judged on the FIRST step after a
+            # re-correspondence: later inner steps converge to the frozen-
+            # correspondence fixpoint and their delta goes ~0 even when a
+            # fresh lookup would still move the pose
+            first_delta = jnp.where(i == 0, stats[3], first_delta)
+            return T_new, stats, first_delta
+
+        T_new, (err, ncorr, rmse, _), delta = jax.lax.fori_loop(
+            0, inner, inner_body,
+            (T, (jnp.asarray(jnp.inf), jnp.zeros((), jnp.int32),
+                 jnp.asarray(jnp.inf), jnp.asarray(jnp.inf)),
+             jnp.asarray(jnp.inf)))
+        return (T_new, it + 1, err, ncorr, rmse, delta)
 
     def cond(state):
         _, it, _, _, _, delta = state
-        return (it < cfg.max_iters) & (delta > cfg.tolerance)
+        return (it < outer_cap) & (delta > cfg.tolerance)
 
-    init = (T_init, jnp.zeros((), jnp.int32), jnp.inf,
+    init = (T_init, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf),
             jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf),
             jnp.asarray(jnp.inf))
-    T, it, err, ncorr, rmse, _ = jax.lax.while_loop(cond, step, init)
+    T, it, err, ncorr, rmse, _ = jax.lax.while_loop(cond, outer, init)
     T = geometry.orthonormalize_se3(T)
     # out-of-bounds accounting at the final iterate (valid source points
     # the grid could not see - surfaced, not silently dropped)
-    _, ok_final = voxel_index(geometry.transform_points(T, source_xyz),
-                              source_valid, cfg)
+    px, py, pz = warp(T)
+    _, ok_final = _voxel_index_s(px, py, pz, source_valid, cfg)
     n_oob = jnp.sum(source_valid & ~ok_final).astype(jnp.int32)
     return GicpResult(T=T, n_iters=it, final_error=err, n_corr=ncorr,
                       rmse=rmse, n_oob=n_oob)
@@ -259,9 +393,11 @@ def pool_voxel_map(vm: VoxelMap, cfg: GicpConfig,
     cx, cz = nxy // factor, nz // factor
 
     def pool(a):
-        a = a.reshape((cx, factor, cx, factor, cz, factor)
-                      + a.shape[1:])
-        return a.sum(axis=(1, 3, 5)).reshape((cx * cx * cz,) + a.shape[6:])
+        lead = a.shape[:-1]
+        a = a.reshape(lead + (cx, factor, cx, factor, cz, factor))
+        k = len(lead)
+        return a.sum(axis=(k + 1, k + 3, k + 5)).reshape(
+            lead + (cx * cx * cz,))
 
     return VoxelMap(n=pool(vm.n), sum_x=pool(vm.sum_x),
                     sum_xx=pool(vm.sum_xx), n_oob=vm.n_oob)

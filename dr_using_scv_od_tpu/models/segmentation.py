@@ -204,8 +204,7 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     bbox_min = segment_ops.segment_min(xyz, point_cluster, in_fov, C)
     bbox_max = segment_ops.segment_max(xyz, point_cluster, in_fov, C)
     grid_valid = label_grid >= 0
-    n_voxels = segment_ops.segment_count(
-        label_grid, grid_valid, C)
+    n_voxels = segment_ops.grid_label_counts(label_grid, C)
     alive = roots != sentinel
 
     # --- bounding-box refinement (src/ssc.cpp:437-467)

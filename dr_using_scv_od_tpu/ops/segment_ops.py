@@ -32,6 +32,27 @@ def segment_count(ids: jnp.ndarray, valid: jnp.ndarray, num: int
                                num_segments=num + 1)[:num]
 
 
+def grid_label_counts(labels: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Histogram of labels in [0, num) over a LARGE flat array (e.g. the
+    [G]~1.3M voxel grid); entries outside [0, num) are ignored.
+
+    A segment-sum scatter at this size serializes on TPU (~15 ms at
+    G=1.3M); here the histogram is an OUTER-PRODUCT MATMUL: with
+    label = hi*L + lo,  count[hi, lo] = sum_g 1{hi_g=hi} * 1{lo_g=lo}
+    = (onehot_hi [H, G]) @ (onehot_lo [G, L]) - one [H,G]x[G,L] MXU
+    matmul (~1 ms), exact in f32 accumulation up to 2^24 per bin.
+    """
+    L = 32
+    H = -(-num // L)
+    hi = labels // L
+    lo = labels % L          # Python-sign mod: negative labels -> hi < 0
+    a = (hi[None, :] == jnp.arange(H, dtype=labels.dtype)[:, None])
+    b = (lo[:, None] == jnp.arange(L, dtype=labels.dtype)[None, :])
+    counts = jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    return counts.reshape(H * L)[:num].astype(jnp.int32)
+
+
 def segment_min(x: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray,
                 num: int, fill: float = jnp.inf) -> jnp.ndarray:
     seg = _seg_ids(ids, valid, num)

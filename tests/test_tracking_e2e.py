@@ -105,3 +105,43 @@ def test_track_point_budget_overflow_reported():
     assert n_dynamic <= 1, (
         f"budget truncation produced {n_dynamic} dynamic verdicts - "
         "truncated clusters leaked into the n_labels==0 branch")
+
+
+def test_track_budget_stride_is_unbiased():
+    """Verdicts under a binding budget must match the unconstrained run:
+    the 1-in-stride sample keeps per-cluster coverage proportional (no
+    first-K starvation of late-scan clusters), and clusters too sparse to
+    preserve voxel coverage stay unjudged rather than drifting DYNAMIC."""
+    import dataclasses
+    spec = synthetic.SceneSpec(ground_pts=1200, building_pts=200,
+                               tree_pts=80, car_pts=400, n_buildings=2,
+                               n_trees=2, n_parked_cars=3, n_moving_cars=1,
+                               extent=14.0)
+    scene = synthetic.make_scene(spec)
+    cfg_full = config.tiny_test()
+    win = synthetic.render_window(scene, 3, cfg_full.shapes.max_points)
+    args = (jnp.asarray(win["xyz"]), jnp.asarray(win["intensity"]),
+            jnp.asarray(win["valid"]), jnp.asarray(win["poses"]))
+
+    res_full = pipeline.run_window(*args, cfg_full)
+    # force the budget to bind at roughly half the car points
+    n_car_pts = 4 * 100  # 4 cars x ~100 pts
+    cfg_tight = dataclasses.replace(
+        cfg_full, shapes=dataclasses.replace(
+            cfg_full.shapes, max_track_points=n_car_pts // 2))
+    res_tight = pipeline.run_window(*args, cfg_tight)
+    assert int(res_tight.track_point_overflow) > 0  # budget really bound
+
+    def car_states(res):
+        valid = np.asarray(res.tables.valid)[:-1]
+        types = np.asarray(res.tables.type)[:-1]
+        states = np.asarray(res.tables.state)[:-1]
+        return states[valid & (types == 2)]
+
+    full_dyn = int((car_states(res_full) == 1).sum())
+    tight_dyn = int((car_states(res_tight) == 1).sum())
+    # a 1-in-2 stride keeps >= 1 point in nearly every car voxel on the
+    # synthetic cars (several points per voxel), so verdicts must agree
+    assert tight_dyn == full_dyn, (
+        f"stride sampling changed dynamic verdicts: {tight_dyn} vs "
+        f"{full_dyn} unconstrained")

@@ -207,6 +207,94 @@ def main():
                in_grid & valid,
                frames.state.label_grid.astype(jnp.float32), poses)
 
+    if "trackparts" in which:
+        from dr_using_scv_od_tpu.models import pipeline
+        from dr_using_scv_od_tpu.ops import geometry
+        frames = jax.jit(lambda *a: pipeline.process_window(*a, cfg))(
+            xyz, inten, valid, poses)
+        G = cfg.grid.bin_num
+        C = cfg.shapes.max_clusters
+        K = cfg.shapes.max_track_points
+        pv = frames.state.point_voxel[0]
+        lg0 = frames.state.label_grid[0]
+        lg1 = frames.state.label_grid[1]
+        import jax.tree_util as jtu
+        tab0 = jax.tree.map(lambda a: a[0], frames.state.clusters)
+        tab1 = jax.tree.map(lambda a: a[1], frames.state.clusters)
+        T_np = jax.jit(lambda p: geometry.inverse_se3(p[1]) @ p[0])(poses)
+        pva = (pv >= 0) & valid[0]
+
+        def budget(x):
+            pv_safe = jnp.clip(pv, 0, G - 1)
+            pc = jnp.where(pva & (pv >= 0), lg0[pv_safe], -1)
+            pc_safe = jnp.clip(pc, 0, C - 1)
+            is_car = tab0.valid & (tab0.type == 2)
+            pt_car = (pc >= 0) & is_car[pc_safe]
+            rank = jnp.cumsum(pt_car.astype(jnp.int32)) - 1
+            total = jnp.sum(pt_car)
+            stride = jnp.maximum((total + K - 1) // K, 1)
+            sel = pt_car & (rank % stride == 0)
+            srank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            slot = jnp.where(sel & (srank < K), srank, K)
+            cxyz = jnp.zeros((K + 1, 3), x.dtype).at[slot].set(x)[:K]
+            cpc = jnp.full((K + 1,), -1, jnp.int32).at[slot].set(
+                jnp.where(sel, pc, -1))[:K]
+            ccar = jnp.zeros((K + 1,), bool).at[slot].set(sel)[:K]
+            return cxyz, cpc, ccar
+        timeit("  budget compaction", budget, xyz[0])
+
+        cxyz, cpc, ccar = jax.jit(budget)(xyz[0])
+
+        def warpq(cx):
+            warped = geometry.transform_points(T_np, cx)
+            from dr_using_scv_od_tpu.ops import quantize as qz
+            _, vflat, in_fov = qz.quantize(warped, ccar, cfg.grid)
+            return vflat, in_fov
+        timeit("  warp+quantize(K)", warpq, cxyz)
+        vflat, in_fov = jax.jit(warpq)(cxyz)
+
+        def dedup(vf):
+            vf = vf.astype(jnp.int32)
+            v_safe = jnp.clip(vf, 0, G - 1)
+            nlab = jnp.where(in_fov, lg1[v_safe], -1)
+            hit = in_fov & (nlab >= 0)
+            key = jnp.where(hit, cpc * G + vf, jnp.iinfo(jnp.int32).max)
+            order = jnp.argsort(key)
+            return key[order], order
+        timeit("  dedup argsort(K)", dedup, vflat.astype(jnp.float32))
+
+        def contv(vf):
+            vf = vf.astype(jnp.int32)
+            v_safe = jnp.clip(vf, 0, G - 1)
+            nlab = jnp.where(in_fov, lg1[v_safe], -1)
+            hit = in_fov & (nlab >= 0)
+            key = jnp.where(hit, cpc * G + vf, jnp.iinfo(jnp.int32).max)
+            order = jnp.argsort(key)
+            skey = key[order]
+            uniq = jnp.concatenate([jnp.ones((1,), bool),
+                                    skey[1:] != skey[:-1]]) \
+                & (skey != jnp.iinfo(jnp.int32).max)
+            u_c = jnp.where(uniq, cpc[order], C)
+            u_l = jnp.where(uniq, nlab[order], C)
+            cont = jnp.zeros((C + 1, C + 1), jnp.int32)
+            cont = cont.at[u_c, u_l].add(jnp.where(uniq, 1, 0))
+            return cont
+        timeit("  dedup+cont scatter", contv, vflat.astype(jnp.float32))
+
+        def nvox_seg(lgx):
+            lgx = lgx.astype(jnp.int32)
+            gv = lgx >= 0
+            return jax.ops.segment_sum(
+                gv.astype(jnp.int32), jnp.where(gv, lgx, C),
+                num_segments=C + 1)[:C]
+        timeit("  nvox segsum over G", nvox_seg, lg1.astype(jnp.float32))
+
+        from dr_using_scv_od_tpu.models import tracking as trk
+        def pair(x):
+            return trk._pair_step(tab0, lg0, tab1, lg1, x, pv, pva,
+                                  T_np, jnp.zeros((), jnp.int32), cfg)
+        timeit("  _pair_step FULL", pair, xyz[0])
+
     if "gicp" in which:
         from dr_using_scv_od_tpu.models import gicp
         gcfg = cfg.gicp
