@@ -33,8 +33,10 @@ BASELINE_MS = 213.67  # doc/note.txt:2 (seq 00, full method)
 
 # peak specs per TPU generation for roofline estimates (public numbers;
 # bf16 peak TFLOP/s, HBM TB/s). Unknown kinds fall back to None -> no MFU.
+# "TPU v5 lite" is the PJRT device_kind string v5e chips report.
 _PEAKS = {
     "TPU v4": (275.0, 1.2),
+    "TPU v5 lite": (197.0, 0.82),
     "TPU v5e": (197.0, 0.82),
     "TPU v5p": (459.0, 2.77),
     "TPU v6e": (918.0, 1.64),
@@ -70,10 +72,16 @@ def _time(jfn, *args):
     return time.perf_counter() - t0
 
 
-def _cost(jfn, *args):
-    """XLA cost analysis (flops, bytes) of the compiled rep loop."""
+def _cost(fn, *args):
+    """XLA cost analysis (flops, bytes) of a SINGLE-call jit.
+
+    NB: cost must be read off the plain jitted function - wrapping the
+    body in the rep fori_loop hides its cost from XLA's analysis (the
+    round-2 bench reported 0 flops for exactly that reason).
+    """
+    import jax
     try:
-        c = jfn.lower(*args).compile().cost_analysis()
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(c, list):
             c = c[0]
         return float(c.get("flops", 0.0)), \
@@ -111,65 +119,86 @@ def main():
     dt = _time(run, xyz, inten, valid, poses)
     ms_per_frame = dt / REPS / F * 1000.0
 
-    # ---- roofline estimate from XLA's own cost model
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "unknown")
-    flops, bytes_acc = _cost(run, xyz, inten, valid, poses)
-    if flops:
-        tflops = flops / dt / 1e12
-        tbps = bytes_acc / dt / 1e12
-        line = (f"[roofline] device={kind}  achieved {tflops:.2f} TFLOP/s, "
-                f"{tbps:.3f} TB/s (XLA cost model)")
-        peaks = next((v for k, v in _PEAKS.items() if k in str(kind)), None)
-        if peaks:
-            line += (f"  -> MFU {100 * tflops / peaks[0]:.2f}%, "
-                     f"HBM util {100 * tbps / peaks[1]:.1f}%")
-        err(line)
+    peaks = next((v for k, v in _PEAKS.items() if k in str(kind)), None)
 
-    # ---- per-stage device timings (each stage timed as its own rep loop)
+    # ---- per-stage device timings + roofline (each stage timed as its
+    # own rep loop; flops/bytes read off the stage's SINGLE-call compile,
+    # where XLA's cost model actually reports them)
     try:
         from dr_using_scv_od_tpu.models import (patchwork, recognition,
                                                 segmentation, tracking)
 
         x0, i0, v0, p0 = xyz[0], inten[0], valid[0], poses[0]
-        t_pw = _time(_loop(
-            lambda x, v: patchwork.estimate_ground(x, v, cfg.patchwork),
-            REPS, x0, v0), x0, v0) / REPS
+        stages = []
 
+        def stage(name, fn, *args, per_frame=1):
+            t = _time(_loop(fn, REPS, *args), *args) / REPS / per_frame
+            fl, by = _cost(fn, *args)
+            stages.append((name, t, fl / per_frame, by / per_frame))
+            return t
+
+        stage("patchwork",
+              lambda x, v: patchwork.estimate_ground(x, v, cfg.patchwork),
+              x0, v0)
         pw = jax.jit(lambda x, v: patchwork.estimate_ground(
             x, v, cfg.patchwork))(x0, v0)
-        t_seg = _time(_loop(
-            lambda x, i, ng, g, d: segmentation.segment_frame(
-                x, i, ng, g, d, cfg),
-            REPS, x0, i0, pw.nonground, pw.ground, pw.dropped),
-            x0, i0, pw.nonground, pw.ground, pw.dropped) / REPS
-
+        stage("segment",
+              lambda x, i, ng, g, d: segmentation.segment_frame(
+                  x, i, ng, g, d, cfg),
+              x0, i0, pw.nonground, pw.ground, pw.dropped)
         seg, point_voxel, _ = jax.jit(
             lambda x, i, ng, g, d: segmentation.segment_frame(
                 x, i, ng, g, d, cfg))(x0, i0, pw.nonground, pw.ground,
                                       pw.dropped)
-        t_rec = _time(_loop(
-            lambda x, pc, pv: recognition.recognize(
-                seg.clusters, x, pc, pv, cfg),
-            REPS, x0, seg.point_cluster, point_voxel),
-            x0, seg.point_cluster, point_voxel) / REPS
-
+        stage("recognize",
+              lambda x, pc, pv: recognition.recognize(
+                  seg.clusters, x, pc, pv, cfg),
+              x0, seg.point_cluster, point_voxel)
         frames = jax.jit(lambda *a: pipeline.process_window(*a, cfg))(
             xyz, inten, valid, poses)
         in_grid = frames.state.point_voxel >= 0
-        t_trk = _time(_loop(
-            lambda x, pv, pva, lg, po: tracking.track_window(
-                x, pv, pva, lg, frames.state.clusters, po, cfg),
-            REPS, xyz, frames.state.point_voxel, in_grid & valid,
-            frames.state.label_grid, poses),
-            xyz, frames.state.point_voxel, in_grid & valid,
-            frames.state.label_grid, poses) / REPS / F
+        stage("tracking",
+              lambda x, pv, pva, lg, po: tracking.track_window(
+                  x, pv, pva, lg, frames.state.clusters, po, cfg),
+              xyz, frames.state.point_voxel, in_grid & valid,
+              frames.state.label_grid, poses, per_frame=F)
 
-        err(f"[stages ms/frame] patchwork={t_pw * 1e3:.2f}  "
-            f"segment={t_seg * 1e3:.2f}  recognize={t_rec * 1e3:.2f}  "
-            f"tracking={t_trk * 1e3:.2f}  "
-            f"(sum={(t_pw + t_seg + t_rec + t_trk) * 1e3:.2f}, "
-            f"e2e={ms_per_frame:.2f})")
+        tot_t = sum(s[1] for s in stages)
+        tot_fl = sum(s[2] for s in stages)
+        tot_by = sum(s[3] for s in stages)
+        err(f"[stages ms/frame] "
+            + "  ".join(f"{n}={t * 1e3:.2f}" for n, t, _, _ in stages)
+            + f"  (sum={tot_t * 1e3:.2f}, e2e={ms_per_frame:.2f})")
+        for n, t, fl, by in stages:
+            line = (f"[roofline] {n:<10} {fl / t / 1e12:6.2f} TFLOP/s  "
+                    f"{by / t / 1e12:6.3f} TB/s")
+            if peaks:
+                line += (f"  MFU {100 * fl / t / 1e12 / peaks[0]:5.2f}%  "
+                         f"HBM {100 * by / t / 1e12 / peaks[1]:5.1f}%")
+            err(line)
+        line = (f"[roofline] device={kind}  pipeline total "
+                f"{tot_fl / tot_t / 1e12:.2f} TFLOP/s, "
+                f"{tot_by / tot_t / 1e12:.3f} TB/s (XLA cost model, "
+                f"per-stage compiles)")
+        if peaks:
+            line += (f"  -> MFU {100 * tot_fl / tot_t / 1e12 / peaks[0]:.2f}%"
+                     f", HBM util {100 * tot_by / tot_t / 1e12 / peaks[1]:.1f}%")
+        err(line)
+
+        # cross-check one stage's flops by hand: patchwork's dominant cost
+        # is its one-hot moment/histogram matmuls (models/patchwork.py) -
+        # 2*P*N per output column: 10 moment cols x num_iter fits + 2*NB
+        # histogram cols + 1 count col.
+        P = cfg.patchwork.num_patches
+        N = cfg.shapes.max_points
+        cols = 10 * cfg.patchwork.num_iter + 2 * 128 + 1
+        hand = 2.0 * P * N * cols
+        xla_pw = stages[0][2]
+        err(f"[roofline] hand-check patchwork matmul flops: "
+            f"{hand / 1e9:.2f} GFLOP vs XLA total {xla_pw / 1e9:.2f} GFLOP "
+            f"(matmuls should dominate; ratio {xla_pw / hand:.2f}x)")
     except Exception as e:  # stage breakdown must never kill the bench
         err(f"[stages] breakdown failed: {type(e).__name__}: {e}")
 

@@ -49,6 +49,12 @@ class SceneSpec:
     # verdict, just as in the real data.
     ego_speed: float = 1.5          # m per frame along +x
     moving_speed: float = 6.5       # m per frame for dynamic cars
+    # Mover path: "line" (default - drives straight, eventually exits the
+    # sensor range like real traffic) or "pingpong" (reflects inside the
+    # corridor so dynamics are present in EVERY frame of arbitrarily long
+    # windows - used by the multichip dryrun to distinguish "scene went
+    # empty" from "sharded halo dropped verdicts").
+    mover_path: str = "line"
     noise: float = 0.02
     seed: int = 0
     # Trajectory shape: "line" (default, original behaviour) or "loop"
@@ -159,7 +165,14 @@ def _moving_center(scene: Scene, i: int, frame: int) -> np.ndarray:
         cx, cy = 0.0, spec.loop_radius
         return np.array([cx + lane_r * np.sin(a),
                          cy - lane_r * np.cos(a), z])
-    return scene.moving_start[i] + scene.moving_vel[i] * frame
+    p = scene.moving_start[i] + scene.moving_vel[i] * frame
+    if spec.mover_path == "pingpong":
+        # reflect the along-road coordinate into [-L, L] (triangle wave)
+        # so movers stay inside the corridor for arbitrarily long windows
+        L = spec.extent * 0.9
+        p = p.copy()
+        p[0] = abs((p[0] + L) % (4.0 * L) - 2.0 * L) - L
+    return p
 
 
 def _make_loop_scene(spec: SceneSpec, rng) -> Scene:
