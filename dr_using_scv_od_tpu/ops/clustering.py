@@ -145,17 +145,29 @@ def compact_grid_labels(root_grid: jnp.ndarray, occupied: jnp.ndarray,
     occ = occupied
     g_iota = jnp.arange(G, dtype=jnp.int32)
     is_root = occ & (root_grid == g_iota)
-    cid = jnp.cumsum(is_root.astype(jnp.int32)) - 1       # [G] id at root g
-    n_clusters = jnp.minimum(jnp.sum(is_root), C).astype(jnp.int32)
+    cum = jnp.cumsum(is_root.astype(jnp.int32))           # [G] roots <= g
+    n_roots = cum[-1]
+    n_clusters = jnp.minimum(n_roots, C).astype(jnp.int32)
 
-    cid_grid = cid[root_grid]                              # [G] gather
-    in_cap = cid_grid < C
-    label_grid = jnp.where(occ & in_cap, cid_grid, -1).astype(jnp.int32)
+    # roots table WITHOUT a [G] scatter: root c sits at the first g whose
+    # inclusive root-count reaches c+1 (cum is sorted, one searchsorted)
+    roots = jnp.searchsorted(
+        cum, jnp.arange(1, C + 1, dtype=cum.dtype), side="left"
+    ).astype(jnp.int32)
+    roots = jnp.where(jnp.arange(C) < n_roots, roots, sentinel)
 
-    # roots table: scatter each root's flat id into its compact row
-    slot = jnp.where(is_root & (cid < C), cid, C)
-    roots = jnp.full((C + 1,), sentinel, jnp.int32).at[slot].set(
-        g_iota, mode="drop")[:C]
+    # compact id per voxel WITHOUT a [G] gather: rank of root_grid in the
+    # sorted 512-entry roots table - 'compare_all' runs as C fused [G]
+    # compare+add passes (a 1.3M random gather costs ~12 ms on v5e; this
+    # is ~3 ms and overflowed clusters fall out naturally as misses)
+    pos = jnp.searchsorted(roots, root_grid, side="left",
+                           method="compare_all")
+    # occupied cells hold genuine root ids, so membership needs no table
+    # gather: rank(r) < C  <=>  insertion position < n_clusters (roots
+    # are the C smallest root ids, sentinel-padded above)
+    hit = occ & (pos < n_clusters)
+    label_grid = jnp.where(hit, jnp.clip(pos, 0, C - 1), -1
+                           ).astype(jnp.int32)
 
     safe_flat = jnp.clip(flat_voxel, 0, G - 1)
     point_cluster = jnp.where(in_fov, label_grid[safe_flat], -1)

@@ -14,6 +14,8 @@ from dr_using_scv_od_tpu.models import engine, odometry, posegraph
 from dr_using_scv_od_tpu.models import scan_context as sc
 from dr_using_scv_od_tpu.utils import synthetic
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (fast tier: -m 'not slow')
+
 
 def small_cfg():
     cfg = config.semantickitti()

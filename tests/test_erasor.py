@@ -2,6 +2,7 @@
 the current scan must be flagged dynamic; ground must be preserved."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dr_using_scv_od_tpu.models import erasor
@@ -29,6 +30,7 @@ def _scene(rng, with_car):
             np.concatenate(kinds).astype(np.int32))
 
 
+@pytest.mark.slow
 def test_departed_car_removed(rng):
     cfg = erasor.ErasorConfig()
     map_pts, map_kind = _scene(rng, with_car=True)     # car was there

@@ -2,6 +2,7 @@
 getDescriptorByEnsembleShape, compareFeature - src/ssc.cpp:658-911)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dr_using_scv_od_tpu import config
@@ -22,6 +23,7 @@ def _two_clusters(rng):
     return jnp.asarray(xyz), jnp.asarray(pc)
 
 
+@pytest.mark.slow
 def test_eigen_features_geometry(rng):
     xyz, pc = _two_clusters(rng)
     f = np.asarray(features.eigen_features(xyz, pc, 4, CFG))

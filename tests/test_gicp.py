@@ -28,6 +28,7 @@ def _structured_cloud(rng, n=6000):
     (0.4, 0.1, 0.0, 0.0, 0.0, 0.02),
     (1.0, -0.3, 0.05, 0.01, -0.01, 0.06),
 ])
+@pytest.mark.slow
 def test_scan_to_scan_recovers_pose(rng, pose6):
     cfg = config.semantickitti().gicp
     target = _structured_cloud(rng)
@@ -49,6 +50,7 @@ def test_scan_to_scan_recovers_pose(rng, pose6):
     assert int(res.n_corr) > 1000
 
 
+@pytest.mark.slow
 def test_identity_stays_identity(rng):
     cfg = config.semantickitti().gicp
     cloud = _structured_cloud(rng)
@@ -60,6 +62,7 @@ def test_identity_stays_identity(rng):
     assert abs(np.trace(T[:3, :3]) - 3) < 1e-3
 
 
+@pytest.mark.slow
 def test_odometry_on_synthetic_window(rng):
     """Ego trajectory recovered across a synthetic window (static world)."""
     cfg = config.semantickitti().gicp

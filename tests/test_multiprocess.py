@@ -41,7 +41,7 @@ def test_two_process_mesh():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=240)  # ~120 s observed; 2x headroom
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

@@ -20,6 +20,7 @@ def window():
     return cfg, win
 
 
+@pytest.mark.slow
 def test_window_odometry_accuracy(window):
     cfg, win = window
     res = odometry.estimate_window_poses(jnp.asarray(win["xyz"]),
@@ -29,6 +30,7 @@ def test_window_odometry_accuracy(window):
     assert np.all(np.asarray(res.n_corr) > 5000)
 
 
+@pytest.mark.slow
 def test_scan_to_map_beats_chaining(window):
     cfg, win = window
     s2s = odometry.estimate_window_poses(jnp.asarray(win["xyz"]),
@@ -42,6 +44,7 @@ def test_scan_to_map_beats_chaining(window):
     assert ate_s2m <= ate_s2s + 0.01
 
 
+@pytest.mark.slow
 def test_pipeline_with_estimated_poses(window):
     cfg, win = window
     od = odometry.estimate_window_poses(jnp.asarray(win["xyz"]),

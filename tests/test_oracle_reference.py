@@ -395,6 +395,7 @@ def _pairs(part):
     return out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(6))
 def test_ri3_fusion_sandwich(seed):
     cfg = config.tiny_test()

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 
 from dr_using_scv_od_tpu.ops import clustering
 from dr_using_scv_od_tpu.ops.pallas import ri3_kernel
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (fast tier: -m 'not slow')
 
 
 def _run(occ, av, var, shape3, search_c=2, cov_th=1.0, diff_th=2.0):

@@ -9,6 +9,8 @@ from dr_using_scv_od_tpu.models import posegraph as pgo
 from dr_using_scv_od_tpu.ops import geometry
 from dr_using_scv_od_tpu.parallel import mesh as mesh_mod, schur_pgo
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (fast tier: -m 'not slow')
+
 
 def _noisy_chain(F, rng, n_loops=2):
     """Ground-truth circular-ish trajectory, noisy odometry edges, exact

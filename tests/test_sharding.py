@@ -12,6 +12,8 @@ from dr_using_scv_od_tpu.parallel import mesh as mesh_mod
 from dr_using_scv_od_tpu.parallel import sharded_pipeline
 from dr_using_scv_od_tpu.utils import synthetic
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (fast tier: -m 'not slow')
+
 
 def _window(cfg, F):
     spec = synthetic.SceneSpec(ground_pts=1500, building_pts=300,

@@ -103,6 +103,7 @@ def test_features_cli(tmp_path):
     assert "planarity" in r.stdout
 
 
+@pytest.mark.slow
 def test_view_cli(tmp_path, rng):
     """tool/viewer.py analog: colored PCD -> PNG snapshot."""
     xyz = rng.normal(size=(200, 3)).astype(np.float32)

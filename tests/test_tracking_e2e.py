@@ -24,6 +24,7 @@ def window_result():
     return cfg, win, res
 
 
+@pytest.mark.slow
 def test_no_overflow(window_result):
     _, _, res = window_result
     assert int(res.new_row_overflow) == 0
@@ -76,6 +77,7 @@ def test_track_ids_assigned(window_result):
     assert np.all(tids[:-1][car] >= 0)
 
 
+@pytest.mark.slow
 def test_track_point_budget_overflow_reported():
     """Tracking compacts car points to shapes.max_track_points; when the
     budget is insufficient the overflow counter must say so (silent
@@ -107,6 +109,7 @@ def test_track_point_budget_overflow_reported():
         "truncated clusters leaked into the n_labels==0 branch")
 
 
+@pytest.mark.slow
 def test_track_budget_stride_is_unbiased():
     """Verdicts under a binding budget must match the unconstrained run:
     the 1-in-stride sample keeps per-cluster coverage proportional (no

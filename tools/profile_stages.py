@@ -96,7 +96,7 @@ def main():
                occ3.astype(jnp.float32))
 
     root = None
-    if which & {"ri3", "compact", "compact2", "segrest"}:
+    if which & {"ri3", "compact", "compact2", "segrest", "compactparts"}:
         from dr_using_scv_od_tpu.ops.pallas import cc_kernel
         root = jax.jit(cc_kernel.connected_components_pallas)(occ3)
 
@@ -206,6 +206,127 @@ def main():
                xyz, frames.state.point_voxel.astype(jnp.float32),
                in_grid & valid,
                frames.state.label_grid.astype(jnp.float32), poses)
+
+    if "ccrounds" in which:
+        from dr_using_scv_od_tpu.ops.pallas import cc_kernel, ri3_kernel
+        ref = np.asarray(jax.jit(
+            lambda o: cc_kernel.connected_components_pallas(o))(occ3))
+        for k in (1, 2, 3, 4):
+            t = timeit(f"  cc max_outer={k}",
+                       lambda o3, k=k: cc_kernel.connected_components_pallas(
+                           o3 != 0, max_outer=k),
+                       occ3.astype(jnp.float32))
+            got = np.asarray(jax.jit(
+                lambda o3, k=k: cc_kernel.connected_components_pallas(
+                    o3 != 0, max_outer=k))(occ3.astype(jnp.float32)))
+            print(f"    converged@{k}: {np.array_equal(got, ref)}",
+                  flush=True)
+        ref_r = np.asarray(jax.jit(lambda r: ri3_kernel.
+                           refine_by_intensity_pallas(
+                               r, grid.count, grid.intensity_mean,
+                               grid.intensity_var, shape3, cfg.seg.search_c,
+                               cfg.seg.intensity_cov, cfg.seg.intensity_diff,
+                               cfg.seg.far_range_frac))(jnp.asarray(ref)))
+        for k in (1, 2, 3):
+            got = np.asarray(jax.jit(
+                lambda r, k=k: ri3_kernel.refine_by_intensity_pallas(
+                    r, grid.count, grid.intensity_mean,
+                    grid.intensity_var, shape3, cfg.seg.search_c,
+                    cfg.seg.intensity_cov, cfg.seg.intensity_diff,
+                    cfg.seg.far_range_frac, max_outer=k))(jnp.asarray(ref)))
+            timeit(f"  ri3 max_outer={k}",
+                   lambda r, k=k: ri3_kernel.refine_by_intensity_pallas(
+                       r.astype(jnp.int32), grid.count, grid.intensity_mean,
+                       grid.intensity_var, shape3, cfg.seg.search_c,
+                       cfg.seg.intensity_cov, cfg.seg.intensity_diff,
+                       cfg.seg.far_range_frac, max_outer=k),
+                   jnp.asarray(ref).astype(jnp.float32))
+            print(f"    ri3 converged@{k}: {np.array_equal(got, ref_r)}",
+                  flush=True)
+
+    if "compactparts" in which:
+        G = cfg.grid.bin_num
+        g_iota = jnp.arange(G, dtype=jnp.int32)
+        occv = grid.occupied
+
+        def cumsum_only(r):
+            r = r.astype(jnp.int32)
+            is_root = occv & (r == g_iota)
+            return jnp.cumsum(is_root.astype(jnp.int32))
+        timeit("  cumsum(G)", cumsum_only, root.astype(jnp.float32))
+        cid = jax.jit(cumsum_only)(root) - 1
+
+        def gather_only(r):
+            return cid[r.astype(jnp.int32)]
+        timeit("  gather cid[root] (G)", gather_only,
+               root.astype(jnp.float32))
+
+        def scatter_roots(r):
+            r = r.astype(jnp.int32)
+            is_root = occv & (r == g_iota)
+            C = cfg.shapes.max_clusters
+            slot = jnp.where(is_root & (cid < C), cid, C)
+            return jnp.full((C + 1,), G, jnp.int32).at[slot].set(
+                g_iota, mode="drop")[:C]
+        timeit("  scatter roots", scatter_roots, root.astype(jnp.float32))
+
+        def pt_gather(r):
+            lgx = r.astype(jnp.int32)
+            safe = jnp.clip(flat, 0, G - 1)
+            return lgx[safe]
+        timeit("  point gather (N from G)", pt_gather,
+               root.astype(jnp.float32))
+
+    if "recogparts" in which:
+        from dr_using_scv_od_tpu.models import recognition as rec
+        from dr_using_scv_od_tpu.ops import segment_ops as so
+        seg, point_voxel, _ = jax.jit(
+            lambda x, i, ng, g_, d: segmentation.segment_frame(
+                x, i, ng, g_, d, cfg))(x0, i0, nonground, pw.ground,
+                                       pw.dropped)
+        C = cfg.shapes.max_clusters
+        pv = point_voxel
+        pc = seg.point_cluster
+        planar = jax.jit(lambda x: rec.voxel_planarity(
+            x, pv, pc >= 0, cfg))(x0)
+
+        def nplanar(x):
+            pv_safe = jnp.clip(pv, 0, cfg.grid.bin_num - 1)
+            pt_planar = (pc >= 0) & planar[pv_safe]
+            return so.segment_count(pc, pt_planar, C)
+        timeit("  planar gather+segcount", nplanar, x0)
+
+        def bbox_feats(x):
+            n_pts = jnp.maximum(seg.clusters.n_points, 1)
+            dx = seg.clusters.bbox_max[:, 0] - seg.clusters.bbox_min[:, 0]
+            dy = seg.clusters.bbox_max[:, 1] - seg.clusters.bbox_min[:, 1]
+            from dr_using_scv_od_tpu.ops import geometry as geo
+            spread = jnp.abs(geo.polar_angle_deg(seg.clusters.bbox_max)
+                             - geo.polar_angle_deg(seg.clusters.bbox_min))
+            return dx * dy + spread + n_pts + jnp.sum(x) * 0
+        timeit("  feature math", bbox_feats, x0)
+
+    if "segparts2" in which:
+        from dr_using_scv_od_tpu.ops import segment_ops as so
+        seg, point_voxel, _ = jax.jit(
+            lambda x, i, ng, g_, d: segmentation.segment_frame(
+                x, i, ng, g_, d, cfg))(x0, i0, nonground, pw.ground,
+                                       pw.dropped)
+        C = cfg.shapes.max_clusters
+        pc = seg.point_cluster
+
+        def bbox_reductions(x):
+            n_points = so.segment_count(pc, pc >= 0, C)
+            bmin = so.segment_min(x, pc, pc >= 0, C)
+            bmax = so.segment_max(x, pc, pc >= 0, C)
+            return n_points, bmin, bmax
+        timeit("  bbox seg min/max/count", bbox_reductions, x0)
+
+        def nvox_matmul(r):
+            from dr_using_scv_od_tpu.ops import segment_ops as so2
+            return so2.grid_label_counts(r.astype(jnp.int32), C)
+        timeit("  grid_label_counts", nvox_matmul,
+               seg.label_grid.astype(jnp.float32))
 
     if "trackparts" in which:
         from dr_using_scv_od_tpu.models import pipeline
