@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from ..types import TYPE_BUILDING, TYPE_CAR, TYPE_TREE, ClusterTable
-from ..ops import geometry, plane as plane_ops, segment_ops
+from ..ops import geometry, segment_ops
 
 
 class Features(NamedTuple):
@@ -66,14 +66,13 @@ def voxel_planarity(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
     cxy = sxy / safe_n - mx * my
     cxz = sxz / safe_n - mx * mz
     cyz = syz / safe_n - my * mz
-    cov = jnp.stack([
-        jnp.stack([cxx, cxy, cxz], -1),
-        jnp.stack([cxy, cyy, cyz], -1),
-        jnp.stack([cxz, cyz, czz], -1),
-    ], axis=-2)
-    evals, _ = plane_ops.eigh3x3(cov)
-    tr = jnp.maximum(evals.sum(-1), 1e-12)
-    surface_var = jnp.maximum(evals[:, 0], 0.0) / tr
+    # smallest-eigenvalue fraction in pure scalar planes: a [G,3,3] stack
+    # tiles to (8,128) on TPU and wastes ~42x the lanes (models/gicp.py
+    # has the same discipline)
+    from . import gicp as gicp_mod
+    e_lo, _ = gicp_mod._eig3_lo_hi(cxx, cxy, cxz, cyy, cyz, czz)
+    tr = jnp.maximum(cxx + cyy + czz, 1e-12)
+    surface_var = jnp.maximum(e_lo, 0.0) / tr
     return ((n >= cfg.recog.plane_min_pts)
             & (surface_var <= cfg.recog.plane_flatness_thr))
 

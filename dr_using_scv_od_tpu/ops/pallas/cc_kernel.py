@@ -66,7 +66,10 @@ def _cc_tile_kernel(occ_hbm, lab_hbm, lab_out, changed_out,
     lab0 = lab_s[:]
     lab = jnp.where(occ, lab0, inf)
 
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, S_pad), 0) % R
+    rows_a = tile_rows // R  # azimuth slabs in the tile (incl. halo)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, S_pad), 0)
+    r_iota = row_iota % R
+    a_iota = row_iota // R
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, S_pad), 1)
     n_scan = max(1, (S_pad - 1).bit_length())
 
@@ -89,6 +92,34 @@ def _cc_tile_kernel(occ_hbm, lab_hbm, lab_out, changed_out,
             f = f | f_sh
         return v
 
+    def seg_scan_rows(v, axis_iota, axis_len: int, stride_rows: int):
+        """Segmented min-scan along a ROW axis (range: stride 1, azimuth:
+        stride R); runs break at empty cells and axis boundaries. Spreads
+        a label across a whole occupied run (wall) in log2 steps instead
+        of one cell per iteration - the sector scan's row-space sibling."""
+        n = max(1, (axis_len - 1).bit_length())
+        out = v
+        for reverse in (False, True):
+            vv = v
+            f = (~occ).astype(jnp.int32)
+            for k in range(n):
+                step = 1 << k
+                s = stride_rows * step
+                if reverse:
+                    v_sh = _roll(vv, -s, 0)
+                    f_sh = _roll(f, -s, 0)
+                    oob = axis_iota >= axis_len - step
+                else:
+                    v_sh = _roll(vv, s, 0)
+                    f_sh = _roll(f, s, 0)
+                    oob = axis_iota < step
+                v_sh = jnp.where(oob, inf, v_sh)
+                f_sh = jnp.where(oob, 1, f_sh)
+                vv = jnp.where(f > 0, vv, jnp.minimum(vv, v_sh))
+                f = f | f_sh
+            out = jnp.minimum(out, vv)
+        return out
+
     def one_iter(lab):
         m = jnp.minimum(seg_scan(lab, False), seg_scan(lab, True))
         # +-1 sector tolerance for diagonal hops
@@ -107,7 +138,14 @@ def _cc_tile_kernel(occ_hbm, lab_hbm, lab_out, changed_out,
                 elif dr == -1:
                     sh = jnp.where(r_iota == 0, inf, sh)
                 tot = jnp.minimum(tot, sh)
-        return jnp.where(occ, jnp.minimum(lab, tot), inf)
+        tot = jnp.where(occ, jnp.minimum(lab, tot), inf)
+        # log-depth propagation along occupied RANGE and AZIMUTH runs
+        # (walls/trunks are contiguous there; without these scans a label
+        # crosses one azimuth slab per iteration and big components need
+        # ~4 outer HBM rounds to settle)
+        tot = seg_scan_rows(tot, r_iota, R, 1)
+        tot = seg_scan_rows(tot, a_iota, rows_a, R)
+        return jnp.where(occ, tot, inf)
 
     lab = jax.lax.fori_loop(0, local_iters, lambda k, l: one_iter(l), lab)
 
@@ -130,9 +168,13 @@ def connected_components_pallas(occupied: jnp.ndarray,
     A, R, S = occupied.shape
     G = A * R * S
     S_pad = _round_up(S, 128)
-    local_iters = 8
-    H = local_iters
-    AB = min(A, 10)
+    # With the in-tile range/azimuth run-scans a label crosses whole
+    # occupied runs per local iteration; the remaining slow mode is
+    # diagonal (non-axis-run) propagation at one cheb-hop per iteration,
+    # so keep a few local iters per HBM round for blobby/sloped shapes
+    local_iters = 4
+    H = 4
+    AB = min(A, 20)
     n_tiles = -(-A // AB)
     A_pad = n_tiles * AB + 2 * H
     inf = jnp.iinfo(jnp.int32).max // 2

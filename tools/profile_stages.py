@@ -92,7 +92,7 @@ def main():
     if "cc" in which:
         from dr_using_scv_od_tpu.ops.pallas import cc_kernel
         timeit("cc_pallas",
-               lambda o3: cc_kernel.connected_components_pallas(o3 != 0),
+               lambda o3: cc_kernel.connected_components_pallas(o3 > 0.5),
                occ3.astype(jnp.float32))
 
     root = None
@@ -214,11 +214,11 @@ def main():
         for k in (1, 2, 3, 4):
             t = timeit(f"  cc max_outer={k}",
                        lambda o3, k=k: cc_kernel.connected_components_pallas(
-                           o3 != 0, max_outer=k),
+                           o3 > 0.5, max_outer=k),
                        occ3.astype(jnp.float32))
             got = np.asarray(jax.jit(
                 lambda o3, k=k: cc_kernel.connected_components_pallas(
-                    o3 != 0, max_outer=k))(occ3.astype(jnp.float32)))
+                    o3 > 0.5, max_outer=k))(occ3.astype(jnp.float32)))
             print(f"    converged@{k}: {np.array_equal(got, ref)}",
                   flush=True)
         ref_r = np.asarray(jax.jit(lambda r: ri3_kernel.
