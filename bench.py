@@ -148,13 +148,14 @@ def main():
               lambda x, i, ng, g, d: segmentation.segment_frame(
                   x, i, ng, g, d, cfg),
               x0, i0, pw.nonground, pw.ground, pw.dropped)
-        seg, point_voxel, _ = jax.jit(
+        seg, point_voxel, vgrid = jax.jit(
             lambda x, i, ng, g, d: segmentation.segment_frame(
                 x, i, ng, g, d, cfg))(x0, i0, pw.nonground, pw.ground,
                                       pw.dropped)
         stage("recognize",
               lambda x, pc, pv: recognition.recognize(
-                  seg.clusters, x, pc, pv, cfg),
+                  seg.clusters, x, pc, pv, cfg,
+                  label_grid=seg.label_grid, voxel_count=vgrid.count),
               x0, seg.point_cluster, point_voxel)
         frames = jax.jit(lambda *a: pipeline.process_window(*a, cfg))(
             xyz, inten, valid, poses)

@@ -44,7 +44,8 @@ def process_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
         xyz, intensity, pw.nonground, pw.ground, pw.dropped, cfg)
 
     table, feats = recognition.recognize(
-        seg.clusters, xyz, seg.point_cluster, point_voxel, cfg)
+        seg.clusters, xyz, seg.point_cluster, point_voxel, cfg,
+        label_grid=seg.label_grid, voxel_count=grid.count)
 
     state = FrameState(
         points=PointCloud(xyz=xyz, intensity=intensity, valid=valid),

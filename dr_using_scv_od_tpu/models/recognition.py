@@ -79,15 +79,30 @@ def voxel_planarity(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
 
 def recognize(table: ClusterTable, xyz: jnp.ndarray,
               point_cluster: jnp.ndarray, point_voxel: jnp.ndarray,
-              cfg: PipelineConfig) -> tuple[ClusterTable, Features]:
-    """Classify every live cluster; returns updated table + features."""
+              cfg: PipelineConfig,
+              label_grid: jnp.ndarray | None = None,
+              voxel_count: jnp.ndarray | None = None
+              ) -> tuple[ClusterTable, Features]:
+    """Classify every live cluster; returns updated table + features.
+
+    With `label_grid` + `voxel_count` (the segmentation stage has both),
+    per-cluster planar-point counts come from ONE weighted outer-product
+    histogram over the grid (points-per-voxel x planar mask, keyed by the
+    voxel's cluster) instead of an [N]-from-[G] gather plus a scatter -
+    identical result, ~2x cheaper on TPU. Without them the point-level
+    fallback runs (same semantics; used by callers without grid state).
+    """
     C = table.c
     valid_pt = point_cluster >= 0
 
     planar_vox = voxel_planarity(xyz, point_voxel, valid_pt, cfg)
-    pv_safe = jnp.clip(point_voxel, 0, cfg.grid.bin_num - 1)
-    pt_planar = valid_pt & planar_vox[pv_safe]
-    n_planar = segment_ops.segment_count(point_cluster, pt_planar, C)
+    if label_grid is not None and voxel_count is not None:
+        w = jnp.where(planar_vox, voxel_count.astype(jnp.float32), 0.0)
+        n_planar = segment_ops.grid_label_counts(label_grid, C, weights=w)
+    else:
+        pv_safe = jnp.clip(point_voxel, 0, cfg.grid.bin_num - 1)
+        pt_planar = valid_pt & planar_vox[pv_safe]
+        n_planar = segment_ops.segment_count(point_cluster, pt_planar, C)
     n_pts = jnp.maximum(table.n_points, 1)
     planar_ratio = n_planar.astype(jnp.float32) / n_pts.astype(jnp.float32)
 

@@ -32,15 +32,18 @@ def segment_count(ids: jnp.ndarray, valid: jnp.ndarray, num: int
                                num_segments=num + 1)[:num]
 
 
-def grid_label_counts(labels: jnp.ndarray, num: int) -> jnp.ndarray:
+def grid_label_counts(labels: jnp.ndarray, num: int,
+                      weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Histogram of labels in [0, num) over a LARGE flat array (e.g. the
-    [G]~1.3M voxel grid); entries outside [0, num) are ignored.
+    [G]~1.3M voxel grid); entries outside [0, num) are ignored. With
+    `weights` (same shape, f32) the histogram is weight-summed instead of
+    counted (returned as f32; counts return int32).
 
     A segment-sum scatter at this size serializes on TPU (~15 ms at
     G=1.3M); here the histogram is an OUTER-PRODUCT MATMUL: with
-    label = hi*L + lo,  count[hi, lo] = sum_g 1{hi_g=hi} * 1{lo_g=lo}
-    = (onehot_hi [H, G]) @ (onehot_lo [G, L]) - one [H,G]x[G,L] MXU
-    matmul (~1 ms), exact in f32 accumulation up to 2^24 per bin.
+    label = hi*L + lo,  count[hi, lo] = sum_g 1{hi_g=hi} * w_g * 1{lo_g=lo}
+    = (onehot_hi [H, G]) @ (w-scaled onehot_lo [G, L]) - one MXU matmul
+    (~1 ms), exact in f32 accumulation up to 2^24 per bin for counts.
     """
     L = 32
     H = -(-num // L)
@@ -48,9 +51,15 @@ def grid_label_counts(labels: jnp.ndarray, num: int) -> jnp.ndarray:
     lo = labels % L          # Python-sign mod: negative labels -> hi < 0
     a = (hi[None, :] == jnp.arange(H, dtype=labels.dtype)[:, None])
     b = (lo[:, None] == jnp.arange(L, dtype=labels.dtype)[None, :])
-    counts = jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-    return counts.reshape(H * L)[:num].astype(jnp.int32)
+    if weights is None:
+        counts = jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        return counts.reshape(H * L)[:num].astype(jnp.int32)
+    wb = b.astype(jnp.float32) * weights[:, None]
+    sums = jnp.matmul(a.astype(jnp.float32), wb,
+                      precision="highest",
+                      preferred_element_type=jnp.float32)
+    return sums.reshape(H * L)[:num]
 
 
 def segment_min(x: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray,
