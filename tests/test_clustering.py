@@ -93,3 +93,68 @@ def test_compact_labels_overflow():
     pc = np.asarray(pc)
     assert np.all(pc[:4] == np.arange(4))
     assert np.all(pc[4:] == -1)
+
+
+def test_compact_grid_labels_matches_point_compaction():
+    """The sort-free grid compaction must agree with the point-level
+    compact_labels + labels_to_grid reference on a random grid."""
+    rng = np.random.default_rng(3)
+    G, N, C = 500, 200, 16
+    # random root structure: pick some roots, assign each occupied voxel
+    # the min root <= its id (valid root_grid invariant: root <= own id,
+    # root cells point to themselves)
+    occupied = rng.random(G) < 0.3
+    root_ids = np.where(occupied)[0]
+    # group occupied voxels into runs sharing the run-min as root
+    root_grid = np.arange(G, dtype=np.int32)
+    cur_root = -1
+    for g in range(G):
+        if occupied[g]:
+            if cur_root < 0 or rng.random() < 0.4:
+                cur_root = g
+            root_grid[g] = cur_root
+        else:
+            cur_root = -1
+    # points: one per distinct component root first (the pipeline
+    # guarantees every occupied voxel holds a point, so every grid
+    # component is point-occupied), then random occupied voxels, then
+    # some out-of-FOV slots
+    distinct_roots = np.unique(root_grid[occupied])
+    occ_ids = np.where(occupied)[0]
+    flat = np.concatenate([
+        distinct_roots,
+        rng.choice(occ_ids, N - len(distinct_roots) - 10),
+        np.full(10, -1)]).astype(np.int32)
+    in_fov = flat >= 0
+
+    roots2, pc2, lg2, n2, drop2 = clustering.compact_grid_labels(
+        jnp.asarray(root_grid), jnp.asarray(occupied), jnp.asarray(flat),
+        jnp.asarray(in_fov), C, G)
+
+    point_roots = jnp.asarray(
+        np.where(in_fov, root_grid[np.clip(flat, 0, G - 1)], G))
+    roots1, pc1, n1, drop1 = clustering.compact_labels(
+        point_roots, jnp.asarray(in_fov), C, G)
+    lg1 = clustering.labels_to_grid(roots1, jnp.asarray(root_grid),
+                                    jnp.asarray(occupied), G)
+    np.testing.assert_array_equal(np.asarray(roots2), np.asarray(roots1))
+    np.testing.assert_array_equal(np.asarray(pc2), np.asarray(pc1))
+    np.testing.assert_array_equal(np.asarray(lg2), np.asarray(lg1))
+    assert int(n2) == int(n1) and int(drop2) == int(drop1)
+
+
+def test_grid_label_counts_weighted_and_plain():
+    from dr_using_scv_od_tpu.ops import segment_ops as so
+    rng = np.random.default_rng(7)
+    lab = rng.integers(-1, 100, 5000).astype(np.int32)
+    w = rng.integers(0, 4000, 5000).astype(np.float32)
+    got_c = np.asarray(so.grid_label_counts(jnp.asarray(lab), 100))
+    got_w = np.asarray(so.grid_label_counts(jnp.asarray(lab), 100,
+                                            weights=jnp.asarray(w)))
+    want_c = np.zeros(100, np.int64)
+    want_w = np.zeros(100)
+    m = lab >= 0
+    np.add.at(want_c, lab[m], 1)
+    np.add.at(want_w, lab[m], w[m])
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_array_equal(got_w, want_w)  # radix-split is EXACT
