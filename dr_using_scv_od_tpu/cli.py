@@ -182,10 +182,15 @@ def cmd_bench_table(args):
         with open(path) as f:
             meta = (yaml.safe_load(f) or {}).get("sequence", {})
         seq = str(meta.get("id", path.stem))
+        # per-profile window bounds stay LOCAL: writing back into args would
+        # leak one profile's sequence block into the next profile's window
         if args.data != "synthetic" and meta:
-            args.start = int(meta.get("start", args.start))
-            args.end = int(meta.get("end", args.end))
-        win_j, _ = _load_window(args, cfg)
+            win_args = argparse.Namespace(**vars(args))
+            win_args.start = int(meta.get("start", args.start))
+            win_args.end = int(meta.get("end", args.end))
+        else:
+            win_args = args
+        win_j, _ = _load_window(win_args, cfg)
 
         def run_variant(cfg_v, label, thr_list):
             for thr in thr_list:

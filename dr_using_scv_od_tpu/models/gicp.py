@@ -144,7 +144,11 @@ def _eig3_lo_hi(c00, c01, c02, c11, c12, c22):
 def _normal_from_cov(c00, c01, c02, c11, c12, c22, lam):
     """Unit eigenvector for eigenvalue `lam` (the plane normal when lam is
     the smallest eigenvalue), scalar planes in, scalar planes out.
-    Cross-product row recovery with a degenerate fallback to +z."""
+    Returns (vx, vy, vz, ok): `ok` is False where all three row
+    cross-products vanish (exactly rank-1 / isotropic covariance - e.g. a
+    collinear pole). Callers must zero such voxels' weights: any fallback
+    direction (the +z this returns) can be parallel to the point line and
+    would over-penalize the high-variance direction."""
     r0x, r0y, r0z = c00 - lam, c01, c02
     r1x, r1y, r1z = c01, c11 - lam, c12
     r2x, r2y, r2z = c02, c12, c22 - lam
@@ -175,7 +179,7 @@ def _normal_from_cov(c00, c01, c02, c11, c12, c22, lam):
     vx = jnp.where(safe, bx * inv, 0.0)
     vy = jnp.where(safe, by * inv, 0.0)
     vz = jnp.where(safe, bz * inv, 1.0)
-    return vx, vy, vz
+    return vx, vy, vz, safe
 
 
 def finalize_target(vm: VoxelMap, cfg: GicpConfig) -> GicpTarget:
@@ -199,14 +203,17 @@ def finalize_target(vm: VoxelMap, cfg: GicpConfig) -> GicpTarget:
     c12 = vm.sum_xx[5] / n - my * mz
 
     e_lo, e_hi = _eig3_lo_hi(c00, c01, c02, c11, c12, c22)
-    vx, vy, vz = _normal_from_cov(c00, c01, c02, c11, c12, c22, e_lo)
+    vx, vy, vz, n_ok = _normal_from_cov(c00, c01, c02, c11, c12, c22, e_lo)
 
     delta = 1e-3
     lam = jnp.maximum(e_hi, 1e-9)
     a = lam + delta
     b = lam * (1.0 - cfg.plane_eps)
-    k = b / (a * (a - b))
-    inv_a = 1.0 / a
+    # degenerate covariance (no recoverable normal): zero the whole weight
+    # so the voxel contributes nothing, rather than penalizing along an
+    # arbitrary +z that may be parallel to a collinear voxel's point line
+    k = jnp.where(n_ok, b / (a * (a - b)), 0.0)
+    inv_a = jnp.where(n_ok, 1.0 / a, 0.0)
     w00 = inv_a + k * vx * vx
     w11 = inv_a + k * vy * vy
     w22 = inv_a + k * vz * vz

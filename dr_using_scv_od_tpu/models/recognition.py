@@ -98,7 +98,9 @@ def recognize(table: ClusterTable, xyz: jnp.ndarray,
     planar_vox = voxel_planarity(xyz, point_voxel, valid_pt, cfg)
     if label_grid is not None and voxel_count is not None:
         w = jnp.where(planar_vox, voxel_count.astype(jnp.float32), 0.0)
-        n_planar = segment_ops.grid_label_counts(label_grid, C, weights=w)
+        n_planar = segment_ops.grid_label_counts(
+            label_grid, C, weights=w,
+            weight_bound=cfg.shapes.max_points + 1)
     else:
         pv_safe = jnp.clip(point_voxel, 0, cfg.grid.bin_num - 1)
         pt_planar = valid_pt & planar_vox[pv_safe]

@@ -72,8 +72,10 @@ def connected_components(occupied: jnp.ndarray, max_iters: int = 64
 
     Args:
       occupied: [A, R, S] bool.
-      max_iters: hard iteration cap (with pointer jumping, components
-        converge in roughly log2(diameter) iterations).
+      max_iters: hard iteration cap (defensive bound, SURVEY.md 7.3: with
+        run-scans + pointer jumping components converge in a handful of
+        iterations; labels strictly decrease so convergence is provable,
+        but the cap guarantees termination even if that argument rots).
 
     Returns:
       [G] int32 flat label array; each occupied voxel holds the minimum flat
@@ -112,8 +114,8 @@ def connected_components(occupied: jnp.ndarray, max_iters: int = 64
         return new, changed, it + 1
 
     lab, _, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (lab, jnp.array(True), jnp.zeros((), jnp.int32)))
-    del max_iters  # convergence is exact; cap kept in signature for tuning
+        lambda s: s[1] & (s[2] < max_iters), body,
+        (lab, jnp.array(True), jnp.zeros((), jnp.int32)))
     return lab
 
 

@@ -26,8 +26,8 @@ Kernel structure (one local iteration):
     as three separable 3-tap axis mins (~6 rolls for all 26 offsets).
   * Chebyshev-2 shell (98 offsets) carries only the intensity gate; the
     per-voxel (qual, mean) pair rides ONE packed int32 plane
-    (occ<<22 | qual<<21 | round(mean*64)) so each offset needs two
-    shifted tensors (labels + enc), not four.
+    (occ<<22 | qual<<21 | round(mean * _AV_SCALE=8192)) so each offset
+    needs two shifted tensors (labels + enc), not four.
   * Same-cluster RUN-SCANS (segmented log-depth min along sector / range
     / azimuth runs of constant pre-RI3 label) spread a merged label
     across a whole wall per iteration instead of one voxel per hop.

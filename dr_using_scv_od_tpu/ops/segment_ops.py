@@ -33,7 +33,8 @@ def segment_count(ids: jnp.ndarray, valid: jnp.ndarray, num: int
 
 
 def grid_label_counts(labels: jnp.ndarray, num: int,
-                      weights: jnp.ndarray | None = None) -> jnp.ndarray:
+                      weights: jnp.ndarray | None = None,
+                      weight_bound: int = 65536) -> jnp.ndarray:
     """Histogram of labels in [0, num) over a LARGE flat array (e.g. the
     [G]~1.3M voxel grid); entries outside [0, num) are ignored. With
     `weights` (same shape, f32) the histogram is weight-summed instead of
@@ -44,6 +45,11 @@ def grid_label_counts(labels: jnp.ndarray, num: int,
     label = hi*L + lo,  count[hi, lo] = sum_g 1{hi_g=hi} * w_g * 1{lo_g=lo}
     = (onehot_hi [H, G]) @ (w-scaled onehot_lo [G, L]) - one MXU matmul
     (~1 ms), exact in f32 accumulation up to 2^24 per bin for counts.
+
+    `weight_bound`: exclusive upper bound on integer weight values; the
+    radix-256 split uses exactly ceil(log256(weight_bound)) digit matmuls,
+    so exactness holds for any weights < weight_bound (callers with
+    per-voxel point counts should pass cfg.shapes.max_points + 1).
     """
     L = 32
     H = -(-num // L)
@@ -55,20 +61,26 @@ def grid_label_counts(labels: jnp.ndarray, num: int,
         counts = jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
         return counts.reshape(H * L)[:num].astype(jnp.int32)
-    # two EXACT bf16 matmuls via radix-256 weight split (f32 'highest'
+    # EXACT bf16 matmuls via a radix-256 weight split (f32 'highest'
     # matmuls with a 16-row LHS run ~6x slower on the MXU): integer
-    # weights < 2^16 split into hi/lo digits < 256, each bf16-exact,
-    # accumulated in f32
-    w = weights
-    w_hi = jnp.floor(w / 256.0)
-    w_lo = w - 256.0 * w_hi
-    bf = b.astype(jnp.bfloat16)
+    # weights split into base-256 digits < 256, each bf16-exact,
+    # accumulated in f32. Digit count follows `weight_bound` so weights
+    # up to the declared bound lose nothing.
+    n_digits = max(1, -(-max(weight_bound - 1, 1).bit_length() // 8))
     ab = a.astype(jnp.bfloat16)
-    s_lo = jnp.matmul(ab, bf * w_lo[:, None].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    s_hi = jnp.matmul(ab, bf * w_hi[:, None].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    return (256.0 * s_hi + s_lo).reshape(H * L)[:num]
+    bf = b.astype(jnp.bfloat16)
+    w = weights
+    total = jnp.zeros((H, L), jnp.float32)
+    scale = 1.0
+    for _ in range(n_digits):
+        w_next = jnp.floor(w / 256.0)
+        digit = w - 256.0 * w_next
+        total = total + scale * jnp.matmul(
+            ab, bf * digit[:, None].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        w = w_next
+        scale *= 256.0
+    return total.reshape(H * L)[:num]
 
 
 def segment_min(x: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray,

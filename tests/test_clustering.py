@@ -71,6 +71,29 @@ def test_cc_no_sector_wraparound():
     assert got[0] != got[11]
 
 
+def test_cc_iteration_cap_terminates_early():
+    """`max_iters` is a hard defensive bound (SURVEY.md 7.3): a cap of 1
+    must terminate after one sweep, leaving a long multi-arm component
+    under-merged, while the default cap reaches the exact fixpoint."""
+    # an L-shaped path whose ends only connect through many diagonal hops:
+    # diagonal staircase in (range, sector) so neither a single run-scan
+    # nor one neighbour-min sweep can collapse it
+    occ = np.zeros((1, 30, 30), bool)
+    for i in range(30):
+        occ[0, i, i] = True
+        if i + 1 < 30:
+            occ[0, i, i + 1] = True
+    capped = np.asarray(clustering.connected_components(
+        jnp.asarray(occ), max_iters=1))
+    full = np.asarray(clustering.connected_components(jnp.asarray(occ)))
+    occ_flat = occ.reshape(-1)
+    assert len(np.unique(full[occ_flat])) == 1
+    # the cap genuinely bound the iteration count: the capped run stopped
+    # before the fixpoint (non-convergence is visible to callers as >1
+    # label on what converges to one component)
+    assert len(np.unique(capped[occ_flat])) > 1
+
+
 def test_compact_labels():
     roots_pts = jnp.asarray(np.array([7, 3, 7, 9, 3, 3, 100], np.int32))
     valid = jnp.asarray(np.array([1, 1, 1, 1, 1, 1, 0], bool))
@@ -158,3 +181,15 @@ def test_grid_label_counts_weighted_and_plain():
     np.add.at(want_w, lab[m], w[m])
     np.testing.assert_array_equal(got_c, want_c)
     np.testing.assert_array_equal(got_w, want_w)  # radix-split is EXACT
+
+
+def test_grid_label_counts_weight_bound_three_digits():
+    """Weights >= 2^16 (possible when a degenerate cloud piles max_points
+    into one voxel) stay exact when the caller declares the bound - the
+    radix split grows to three digits (ADVICE r3)."""
+    from dr_using_scv_od_tpu.ops import segment_ops as so
+    lab = np.array([0, 0, 1, 2, 1], np.int32)
+    w = np.array([131072.0, 70000.0, 65535.0, 65536.0, 1.0], np.float32)
+    got = np.asarray(so.grid_label_counts(
+        jnp.asarray(lab), 4, weights=jnp.asarray(w), weight_bound=131073))
+    np.testing.assert_array_equal(got, [201072.0, 65536.0, 65536.0, 0.0])
