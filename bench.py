@@ -90,6 +90,33 @@ def _cost(fn, *args):
         return 0.0, 0.0
 
 
+def _device_ms_from_trace(logdir: str) -> float:
+    """Total DEVICE time (ms) of XLA module executions in a jax.profiler
+    trace: parse the xplane.pb artifact and sum event durations on the
+    device plane's 'XLA Modules' line (one event per executable launch,
+    durations are device-clock). Returns 0.0 when no device plane exists
+    (e.g. tracing unsupported on the platform)."""
+    import glob
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ImportError:
+        return 0.0
+    paths = glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb")
+    if not paths:
+        return 0.0
+    total_ps = 0
+    xs = xplane_pb2.XSpace.FromString(open(sorted(paths)[-1], "rb").read())
+    for plane in xs.planes:
+        name = plane.name.lower()
+        if "tpu" not in name and "device" not in name:
+            continue
+        for line in plane.lines:
+            if "module" not in line.name.lower():
+                continue
+            total_ps += sum(ev.duration_ps for ev in line.events)
+    return total_ps / 1e9
+
+
 def main():
     import jax
     # persistent compilation cache: the full pipeline takes ~20 min to
@@ -126,6 +153,7 @@ def main():
     # ---- per-stage device timings + roofline (each stage timed as its
     # own rep loop; flops/bytes read off the stage's SINGLE-call compile,
     # where XLA's cost model actually reports them)
+    stage_jfns = []   # (name, jfn, args, per_frame) for trace replay
     try:
         from dr_using_scv_od_tpu.models import (patchwork, recognition,
                                                 segmentation, tracking)
@@ -134,9 +162,11 @@ def main():
         stages = []
 
         def stage(name, fn, *args, per_frame=1):
-            t = _time(_loop(fn, REPS, *args), *args) / REPS / per_frame
+            jfn = _loop(fn, REPS, *args)
+            t = _time(jfn, *args) / REPS / per_frame
             fl, by = _cost(fn, *args)
             stages.append((name, t, fl / per_frame, by / per_frame))
+            stage_jfns.append((name, jfn, args, per_frame))
             return t
 
         stage("patchwork",
@@ -155,7 +185,8 @@ def main():
         stage("recognize",
               lambda x, pc, pv: recognition.recognize(
                   seg.clusters, x, pc, pv, cfg,
-                  label_grid=seg.label_grid, voxel_count=vgrid.count),
+                  label_grid=seg.label_grid, voxel_count=vgrid.count,
+                  planar_vox=seg.planar_vox),
               x0, seg.point_cluster, point_voxel)
         frames = jax.jit(lambda *a: pipeline.process_window(*a, cfg))(
             xyz, inten, valid, poses)
@@ -203,14 +234,105 @@ def main():
     except Exception as e:  # stage breakdown must never kill the bench
         err(f"[stages] breakdown failed: {type(e).__name__}: {e}")
 
+    # ---- device-trace reconciliation: re-run each stage's already-
+    # compiled rep loop under jax.profiler and extract the DEVICE time of
+    # its XLA module executions from the xplane artifact - the auditable
+    # anchor for the cost-model roofline above (SURVEY section 5's
+    # "jax.profiler traces + per-kernel counters"). Wall-vs-device delta
+    # exposes dispatch/host overhead per stage.
+    try:
+        import tempfile
+        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+        lines = []
+        for name, jfn, args, per_frame in stage_jfns:
+            sub = f"{trace_dir}/{name}"
+            with jax.profiler.trace(sub):
+                np.asarray(jfn(*args))
+            dev_ms = _device_ms_from_trace(sub) / REPS / per_frame
+            wall = next(t for n, t, _, _ in stages if n == name)
+            if dev_ms > 0:
+                lines.append(
+                    f"[trace] {name:<10} device {dev_ms:7.2f} ms/frame  "
+                    f"wall {wall * 1e3:7.2f}  "
+                    f"(host/dispatch {wall * 1e3 - dev_ms:+6.2f})")
+        if lines:
+            err("\n".join(lines))
+            err(f"[trace] xplane artifacts under {trace_dir}")
+        else:
+            err("[trace] no device events extracted (tooling missing?)")
+    except Exception as e:
+        err(f"[trace] failed: {type(e).__name__}: {e}")
+
     # ---- secondary metric: GICP scan-to-scan odometry throughput
     try:
+        from dr_using_scv_od_tpu.models import gicp as gicp_mod
         t_odo = _time(_loop(
             lambda x, v: odometry.estimate_window_poses(x, v, cfg),
             REPS, xyz, valid), xyz, valid) / REPS / (F - 1)
         err(f"[odometry] {t_odo * 1e3:.2f} ms/frame (scan-to-scan GICP)")
+
+        # GICP roofline: flops/bytes of one register_pyramid pair off its
+        # single-call compile. NB the XLA cost model counts while_loop
+        # bodies ONCE, so this is a LOWER bound on flops (the GN solver
+        # runs several outer passes); utilisation numbers are therefore
+        # conservative floors.
+        vm0 = jax.jit(lambda x, v: gicp_mod.build_voxel_map(
+            x, v, cfg.gicp))(xyz[0], valid[0])
+        pair = lambda x, v: gicp_mod.register_pyramid(x, v, vm0,
+                                                      cfg.gicp).T
+        t_pair = _time(_loop(pair, REPS, xyz[1], valid[1]),
+                       xyz[1], valid[1]) / REPS
+        fl, by = _cost(pair, xyz[1], valid[1])
+        line = (f"[roofline] gicp pair {t_pair * 1e3:6.2f} ms  "
+                f">={fl / t_pair / 1e12:5.2f} TFLOP/s  "
+                f">={by / t_pair / 1e12:6.3f} TB/s (cost model counts "
+                f"while bodies once)")
+        if peaks:
+            line += (f"  MFU >={100 * fl / t_pair / 1e12 / peaks[0]:.2f}%  "
+                     f"HBM >={100 * by / t_pair / 1e12 / peaks[1]:.1f}%")
+        err(line)
     except Exception as e:
         err(f"[odometry] failed: {type(e).__name__}: {e}")
+
+    # ---- flagship: the composed streaming SLAM engine on a loop scene
+    # (odometry + tracking + submaps + loop closure + PGO; the driver the
+    # reference left commented out, src/ssc.cpp:1454-1546). Steady-state
+    # windows only (the first window pays compile + cold caches).
+    try:
+        from dr_using_scv_od_tpu.models import engine as engine_mod
+        spec = synthetic.SceneSpec(
+            trajectory="loop", loop_frames=24, loop_radius=18.0,
+            n_moving_cars=2)
+        scene_l = synthetic.make_scene(spec)
+        Fs = 26
+        win_l = synthetic.render_window(scene_l, Fs, cfg.shapes.max_points)
+        ec = engine_mod.EngineConfig(
+            window=6, max_keyframes=32, submap_points=4096,
+            local_map_kf=3, loop_min_gap=8, loop_min_score=0.90)
+        eng = engine_mod.SlamEngine(cfg, ec)
+        t_steps = []
+        for f in range(Fs):
+            t0 = time.perf_counter()
+            out = eng.feed(win_l["xyz"][f], win_l["intensity"][f],
+                           win_l["valid"][f])
+            if out is not None:
+                t_steps.append((time.perf_counter() - t0,
+                                out.removed.shape[0]))
+        eng.finalize(final_erasor=True)
+        steady = t_steps[1:] if len(t_steps) > 1 else t_steps
+        ms_slam = (sum(t for t, _ in steady)
+                   / max(sum(k for _, k in steady), 1) * 1e3)
+        n = eng.n_frames
+        import jax.numpy as jnp2
+        ate = float(odometry.ate_rmse(
+            jnp2.asarray(eng.poses()), jnp2.asarray(win_l["poses"][:n])))
+        n_loops = int(eng.state.n_loops)
+        err(f"[slam] {ms_slam:.2f} ms/frame (streaming engine, "
+            f"{len(steady)} steady windows), ATE {ate:.3f} m, "
+            f"{n_loops} loop edge(s), "
+            f"{int(eng.state.odo_fallbacks)} odo fallbacks")
+    except Exception as e:
+        err(f"[slam] failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "dynamic_removal_ms_per_frame",

@@ -345,13 +345,16 @@ def _insert_submaps(state: EngineState, xyz, valid, removed, base,
         stride = jnp.maximum((n_keep + P - 1) // P, 1)
         rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
         sel = keep & (rank % stride == 0)
-        srank = jnp.cumsum(sel.astype(jnp.int32)) - 1
-        slot = jnp.where(sel & (srank < P), srank, P)
-        sxyz = jnp.zeros((P + 1, 3), xyz.dtype).at[slot].set(xyz[f])[:P]
-        sval = jnp.zeros((P + 1,), bool).at[slot].set(sel)[:P]
-        src = jnp.arange(xyz.shape[1], dtype=jnp.int32)
-        sidx = jnp.full((P + 1,), -1, jnp.int32).at[slot].set(src)[:P]
-        sidx = jnp.where(sval, sidx, -1)
+        # slot p <- the (p+1)-th selected point via binary search on the
+        # inclusive selection count (gathers instead of serialized
+        # [N]-update scatters; same rewrite as tracking's point budget)
+        csel = jnp.cumsum(sel.astype(jnp.int32))
+        idx = jnp.searchsorted(csel, jnp.arange(1, P + 1, dtype=csel.dtype),
+                               side="left").astype(jnp.int32)
+        sval = jnp.arange(P, dtype=jnp.int32) < jnp.minimum(csel[-1], P)
+        idx_safe = jnp.clip(idx, 0, xyz.shape[1] - 1)
+        sxyz = jnp.where(sval[:, None], xyz[f][idx_safe], 0.0)
+        sidx = jnp.where(sval, idx_safe, -1)
         ovf = jnp.maximum(jnp.sum(sel) - P, 0)
         return sxyz, sval, sidx, ovf.astype(jnp.int32)
 

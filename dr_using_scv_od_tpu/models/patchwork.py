@@ -124,11 +124,18 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     # ([P, N] selector @ [N, F] features) instead of segment-sum scatters:
     # TPU scatters serialize (~2 ms each, ~30 of them = the old 49 ms
     # patchwork stage); the matmuls total < 2 ms.
+    #
+    # The [P, N] selector is built ONCE and shared by every reduction -
+    # per-call masks move to the FEATURE side ((oh & mask) @ F ==
+    # oh @ (mask * F), since the selector routes each point to one patch
+    # row either way). Rebuilding the 220 MB selector per call was ~4x
+    # this stage's whole HBM budget (round-3 roofline: 5.3 GB/frame).
     patch_iota = jnp.arange(P, dtype=jnp.int32)[:, None]
+    oh_pid = (pid[None, :] == patch_iota).astype(jnp.float32)  # [P, N]
 
     def psum(mask, feats, precision):
-        oh = jnp.where(mask[None, :], pid[None, :] == patch_iota, False)
-        return jnp.matmul(oh.astype(feats.dtype), feats,
+        return jnp.matmul(oh_pid,
+                          feats * mask[:, None].astype(feats.dtype),
                           precision=precision,
                           preferred_element_type=jnp.float32)
 

@@ -45,7 +45,8 @@ def process_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
 
     table, feats = recognition.recognize(
         seg.clusters, xyz, seg.point_cluster, point_voxel, cfg,
-        label_grid=seg.label_grid, voxel_count=grid.count)
+        label_grid=seg.label_grid, voxel_count=grid.count,
+        planar_vox=seg.planar_vox)
 
     state = FrameState(
         points=PointCloud(xyz=xyz, intensity=intensity, valid=valid),

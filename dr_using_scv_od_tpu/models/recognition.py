@@ -41,23 +41,9 @@ class Features(NamedTuple):
     planar_ratio: jnp.ndarray  # [C]  RPC replacement
 
 
-def voxel_planarity(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
-                    in_fov: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
-    """[G] bool: voxels whose points form a locally planar patch."""
-    g = cfg.grid.bin_num
-    seg = jnp.where(in_fov, point_voxel, g)
-
-    def ssum(x):
-        return jax.ops.segment_sum(jnp.where(in_fov, x, 0.0), seg,
-                                   num_segments=g + 1)[:g]
-
-    # scalar segment-sums only: a single [N,3,3] scatter blows TPU temp
-    # memory up by ~8 GB (XLA materializes huge scatter intermediates)
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    n = ssum(jnp.ones_like(x))
-    sx, sy, sz = ssum(x), ssum(y), ssum(z)
-    sxx, syy, szz = ssum(x * x), ssum(y * y), ssum(z * z)
-    sxy, sxz, syz = ssum(x * y), ssum(x * z), ssum(y * z)
+def _planarity_from_sums(n, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz,
+                         cfg: PipelineConfig) -> jnp.ndarray:
+    """Planarity decision from raw per-voxel moment SUMS ([G] planes)."""
     safe_n = jnp.maximum(n, 1.0)
     mx, my, mz = sx / safe_n, sy / safe_n, sz / safe_n
     cxx = sxx / safe_n - mx * mx
@@ -77,11 +63,51 @@ def voxel_planarity(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
             & (surface_var <= cfg.recog.plane_flatness_thr))
 
 
+def voxel_planarity_from_moments(count: jnp.ndarray, moments: jnp.ndarray,
+                                 cfg: PipelineConfig) -> jnp.ndarray:
+    """[G] bool planarity from the segmentation stage's fused moment
+    scatter (ops/quantize.voxel_stats_moments): no extra scatter pass.
+    `moments` columns: (sx, sy, sz, sxx, syy, szz, sxy, sxz, syz)."""
+    n = count.astype(jnp.float32)
+    return _planarity_from_sums(
+        n, moments[:, 0], moments[:, 1], moments[:, 2], moments[:, 3],
+        moments[:, 4], moments[:, 5], moments[:, 6], moments[:, 7],
+        moments[:, 8], cfg)
+
+
+def voxel_planarity(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
+                    in_fov: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+    """[G] bool: voxels whose points form a locally planar patch.
+
+    Standalone (point-level) path for callers without the segmentation
+    stage's fused moment scatter; the hot pipeline uses
+    voxel_planarity_from_moments instead (identical decision: any voxel
+    whose points reach a live cluster's histogram contains exactly the
+    in-FOV points of that cluster, so the in_fov mask and the
+    point-in-live-cluster mask agree on every voxel that is consumed).
+    """
+    g = cfg.grid.bin_num
+    seg = jnp.where(in_fov, point_voxel, g)
+
+    def ssum(x):
+        return jax.ops.segment_sum(jnp.where(in_fov, x, 0.0), seg,
+                                   num_segments=g + 1)[:g]
+
+    # scalar segment-sums only: a single [N,3,3] scatter blows TPU temp
+    # memory up by ~8 GB (XLA materializes huge scatter intermediates)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    n = ssum(jnp.ones_like(x))
+    return _planarity_from_sums(
+        n, ssum(x), ssum(y), ssum(z), ssum(x * x), ssum(y * y),
+        ssum(z * z), ssum(x * y), ssum(x * z), ssum(y * z), cfg)
+
+
 def recognize(table: ClusterTable, xyz: jnp.ndarray,
               point_cluster: jnp.ndarray, point_voxel: jnp.ndarray,
               cfg: PipelineConfig,
               label_grid: jnp.ndarray | None = None,
-              voxel_count: jnp.ndarray | None = None
+              voxel_count: jnp.ndarray | None = None,
+              planar_vox: jnp.ndarray | None = None
               ) -> tuple[ClusterTable, Features]:
     """Classify every live cluster; returns updated table + features.
 
@@ -91,11 +117,16 @@ def recognize(table: ClusterTable, xyz: jnp.ndarray,
     voxel's cluster) instead of an [N]-from-[G] gather plus a scatter -
     identical result, ~2x cheaper on TPU. Without them the point-level
     fallback runs (same semantics; used by callers without grid state).
+
+    `planar_vox`: precomputed per-voxel planarity (the segmentation
+    stage's fused moment scatter provides it via SegmentResult); when
+    absent the point-level scatter fallback runs here.
     """
     C = table.c
     valid_pt = point_cluster >= 0
 
-    planar_vox = voxel_planarity(xyz, point_voxel, valid_pt, cfg)
+    if planar_vox is None:
+        planar_vox = voxel_planarity(xyz, point_voxel, valid_pt, cfg)
     if label_grid is not None and voxel_count is not None:
         w = jnp.where(planar_vox, voxel_count.astype(jnp.float32), 0.0)
         n_planar = segment_ops.grid_label_counts(

@@ -43,6 +43,9 @@ class SegmentResult(NamedTuple):
     point_route: jnp.ndarray    # [N] int32 ROUTE_*
     n_clusters: jnp.ndarray     # scalar int32
     overflow_points: jnp.ndarray  # scalar int32 (cluster-cap overflow)
+    planar_vox: jnp.ndarray     # [G] bool per-voxel planarity (from the
+    #                             fused moment scatter; feeds recognition's
+    #                             RPC replacement with no extra scatter)
 
 
 def _shift_gather(padded: jnp.ndarray, da: jnp.ndarray, dr: jnp.ndarray,
@@ -165,28 +168,33 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     extraction, which the caller runs (models/patchwork.py).
     """
     from ..ops import quantize  # local import to avoid cycle
+    from . import recognition
 
     g = cfg.grid.bin_num
     sentinel = g
     shape3 = cfg.grid.shape
 
     idx3, flat, in_fov = quantize.quantize(xyz, nonground, cfg.grid)
-    grid = quantize.voxel_stats(flat, intensity, in_fov, cfg.grid)
+    # one wide scatter: intensity stats + xyz moments (planarity feeds
+    # recognition's RPC replacement without a second scatter pass)
+    grid, moments = quantize.voxel_stats_moments(flat, xyz, intensity,
+                                                 in_fov, cfg.grid)
+    planar_vox = recognition.voxel_planarity_from_moments(
+        grid.count, moments, cfg)
 
     # --- CVC connected components + RI3 intensity refinement.
-    # On TPU both run as VMEM-tiled Pallas kernels (ops/pallas); the XLA
-    # formulations remain the CPU/test path and the semantic reference.
+    # On TPU both run as ONE fused VMEM-tiled Pallas kernel (the union-
+    # graph fixpoint, ops/pallas/fused_seg.py); the XLA formulations
+    # remain the CPU/test path and the semantic reference.
     occ3 = grid.occupied.reshape(shape3)
     use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
-        from ..ops.pallas import cc_kernel, ri3_kernel
-        root_grid = cc_kernel.connected_components_pallas(occ3)
-        if cfg.seg.iteration > 0:     # "-RI3" ablation: iteration = 0
-            root_grid = ri3_kernel.refine_by_intensity_pallas(
-                root_grid, grid.count, grid.intensity_mean,
-                grid.intensity_var, shape3, cfg.seg.search_c,
-                cfg.seg.intensity_cov, cfg.seg.intensity_diff,
-                cfg.seg.far_range_frac)
+        from ..ops.pallas import fused_seg
+        root_grid = fused_seg.cluster_labels_pallas(
+            occ3, grid.intensity_mean, grid.intensity_var,
+            cfg.seg.search_c, cfg.seg.intensity_cov,
+            cfg.seg.intensity_diff, cfg.seg.far_range_frac,
+            enable_shell=cfg.seg.iteration > 0)  # "-RI3": iteration = 0
     else:
         root_grid = clustering.connected_components(occ3,
                                                     cfg.seg.cc_max_iters)
@@ -200,7 +208,14 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
             cfg.shapes.max_clusters, sentinel)
 
     C = cfg.shapes.max_clusters
-    n_points = segment_ops.segment_count(point_cluster, in_fov, C)
+    # per-cluster point counts = voxel-count-weighted grid histogram (a
+    # matmul): exactly the per-point segment count, because every in-FOV
+    # point's voxel carries its cluster label and grid.count counts
+    # exactly the in-FOV points per voxel - but with no [N]-update
+    # scatter (~4 ms saved on TPU)
+    n_points = segment_ops.grid_label_counts(
+        label_grid, C, weights=grid.count.astype(jnp.float32),
+        weight_bound=cfg.shapes.max_points + 1).astype(jnp.int32)
     bbox_min = segment_ops.segment_min(xyz, point_cluster, in_fov, C)
     bbox_max = segment_ops.segment_max(xyz, point_cluster, in_fov, C)
     grid_valid = label_grid >= 0
@@ -257,5 +272,6 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
         point_route=route,
         n_clusters=jnp.sum(alive).astype(jnp.int32),
         overflow_points=overflow,
+        planar_vox=planar_vox,
     )
     return result, flat, grid

@@ -91,16 +91,22 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     # ssc.cpp:1255-1275; first-K starved late-scan clusters of coverage and
     # biased their overlap ratio toward DYNAMIC).
     K = cfg.shapes.max_track_points
+    N = prev_xyz.shape[0]
     rank = jnp.cumsum(pt_car.astype(jnp.int32)) - 1
     total = jnp.sum(pt_car)
     stride = jnp.maximum((total + K - 1) // K, 1)
     sel = pt_car & (rank % stride == 0)
-    srank = jnp.cumsum(sel.astype(jnp.int32)) - 1
-    slot = jnp.where(sel & (srank < K), srank, K)      # K = discard slot
-    cxyz = jnp.zeros((K + 1, 3), prev_xyz.dtype).at[slot].set(prev_xyz)[:K]
-    cpc = jnp.full((K + 1,), -1, jnp.int32).at[slot].set(
-        jnp.where(sel, pc, -1))[:K]
-    ccar = jnp.zeros((K + 1,), bool).at[slot].set(sel)[:K]
+    # slot k <- the (k+1)-th selected point, found by binary search on the
+    # inclusive selection count (three [N]-update scatters used to live
+    # here; TPU scatter serializes at ~4 ms per pass, searchsorted is
+    # log2(N) gathers of [K])
+    csel = jnp.cumsum(sel.astype(jnp.int32))
+    idx = jnp.searchsorted(csel, jnp.arange(1, K + 1, dtype=csel.dtype),
+                           side="left").astype(jnp.int32)
+    ccar = jnp.arange(K, dtype=jnp.int32) < jnp.minimum(csel[-1], K)
+    idx_safe = jnp.clip(idx, 0, N - 1)
+    cxyz = jnp.where(ccar[:, None], prev_xyz[idx_safe], 0.0)
+    cpc = jnp.where(ccar, pc[idx_safe], -1)
     track_overflow = total - jnp.sum(ccar)
 
     warped = geometry.transform_points(T_np, cxyz)

@@ -119,6 +119,26 @@ def connected_components(occupied: jnp.ndarray, max_iters: int = 64
     return lab
 
 
+def _cumsum_matmul(bits: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """Inclusive cumsum of a 0/1 int vector as ONE MXU matmul.
+
+    XLA's native [1.3M] cumsum costs ~3.4 ms on v5e (latency-bound
+    log-depth scan); reshaping to [G/B, B] rows and multiplying by an
+    upper-triangular ones matrix runs the same reduction on the MXU in
+    ~0.3 ms. Exact: 0/1 entries are bf16-exact and every partial sum
+    (< 2^24) accumulates in f32."""
+    n = bits.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    rows = jnp.pad(bits.astype(jnp.bfloat16), (0, pad)).reshape(nb, block)
+    tri = (jnp.arange(block)[:, None] <= jnp.arange(block)[None, :]
+           ).astype(jnp.bfloat16)
+    within = jnp.matmul(rows, tri, preferred_element_type=jnp.float32)
+    row_tot = within[:, -1]
+    offs = jnp.cumsum(row_tot) - row_tot
+    return (within + offs[:, None]).reshape(-1)[:n].astype(bits.dtype)
+
+
 def compact_grid_labels(root_grid: jnp.ndarray, occupied: jnp.ndarray,
                         flat_voxel: jnp.ndarray, in_fov: jnp.ndarray,
                         max_clusters: int, sentinel: int):
@@ -147,7 +167,7 @@ def compact_grid_labels(root_grid: jnp.ndarray, occupied: jnp.ndarray,
     occ = occupied
     g_iota = jnp.arange(G, dtype=jnp.int32)
     is_root = occ & (root_grid == g_iota)
-    cum = jnp.cumsum(is_root.astype(jnp.int32))           # [G] roots <= g
+    cum = _cumsum_matmul(is_root.astype(jnp.int32))       # [G] roots <= g
     n_roots = cum[-1]
     n_clusters = jnp.minimum(n_roots, C).astype(jnp.int32)
 

@@ -85,6 +85,43 @@ def voxel_stats(flat_voxel: jnp.ndarray, intensity: jnp.ndarray,
                      intensity_mean=mean, intensity_var=var)
 
 
+def voxel_stats_moments(flat_voxel: jnp.ndarray, xyz: jnp.ndarray,
+                        intensity: jnp.ndarray, in_fov: jnp.ndarray,
+                        grid: GridConfig
+                        ) -> Tuple[VoxelGrid, jnp.ndarray]:
+    """voxel_stats PLUS per-voxel xyz first/second moment sums, all in ONE
+    wide [N,12] segment-sum.
+
+    TPU scatter cost is ~4 ms fixed + ~0.6 ms per extra column at
+    N=131k/G=1.3M (measured, v5e), so one 12-column scatter (~11 ms)
+    replaces the 3 narrow voxel_stats scatters (~6 ms) AND the 10 narrow
+    planarity-moment scatters (~12 ms) the recognition stage used to pay
+    separately (reference: makeHashCloud's per-voxel stats,
+    src/ssc.cpp:282-288, + the region-growing normals it feeds to RPC,
+    src/ssc.cpp:806-814).
+
+    Returns (VoxelGrid, moments [G, 9]) with moment columns
+    (sx, sy, sz, sxx, syy, szz, sxy, sxz, syz) - raw SUMS (not centred);
+    consumers divide by count (recognition.voxel_planarity_from_moments).
+    """
+    g = grid.bin_num
+    seg = jnp.where(in_fov, flat_voxel, g)
+    ones = in_fov.astype(jnp.float32)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    cols = jnp.stack([
+        jnp.ones_like(x), intensity, intensity ** 2,
+        x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
+    ], axis=-1) * ones[:, None]
+    s = jax.ops.segment_sum(cols, seg, num_segments=g + 1)[:g]  # [G,12]
+    count = s[:, 0]
+    safe_n = jnp.maximum(count, 1.0)
+    mean = s[:, 1] / safe_n
+    var = jnp.maximum(s[:, 2] / safe_n - mean ** 2, 0.0)
+    vg = VoxelGrid(count=count.astype(jnp.int32),
+                   intensity_mean=mean, intensity_var=var)
+    return vg, s[:, 3:]
+
+
 def voxel_centers(grid: GridConfig) -> jnp.ndarray:
     """[G,3] analytic voxel centers x=r cos(s), y=r sin(s), z=r tan(a).
 

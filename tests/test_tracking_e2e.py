@@ -49,6 +49,39 @@ def test_dynamic_cars_detected(window_result):
     assert m.f1 > 0.97
 
 
+@pytest.mark.slow
+def test_dynamic_cars_detected_parity_mode():
+    """Round-4 verdict item 5: pin the FAITHFUL-semantics floors
+    separately from the extension-on floors above, so a regression in the
+    reference-parity path cannot hide behind the dynamic-footprint
+    sweep's RR boost.
+
+    With `dynamic_bbox_sweep=False` (the parity mode `cli.py bench-table`
+    reports) the verdict lattice alone measures PR=100.0 / RR=90.35 /
+    F1=0.949 on this scene: the sweep-off RR deficit is exactly the
+    dynamic returns that never reach the lattice (ground-routed car
+    bottoms, out-of-grid points, bbox-dropped fragments - see
+    TrackingConfig.dynamic_bbox_sweep). Floors pinned just below
+    measured."""
+    import dataclasses
+    cfg = config.semantickitti()
+    cfg = dataclasses.replace(cfg, track=dataclasses.replace(
+        cfg.track, dynamic_bbox_sweep=False))
+    scene = synthetic.make_scene()
+    F = 5
+    win = synthetic.render_window(scene, F, cfg.shapes.max_points)
+    res = pipeline.run_window(
+        jnp.asarray(win["xyz"]), jnp.asarray(win["intensity"]),
+        jnp.asarray(win["valid"]), jnp.asarray(win["poses"]), cfg)
+    m = metrics.removal_metrics(
+        jnp.asarray(win["label"][:F - 1]).reshape(-1),
+        res.removed[:F - 1].reshape(-1),
+        jnp.asarray(win["valid"][:F - 1]).reshape(-1))
+    assert m.pr > 99.5, f"parity-mode PR regressed: {m.pr}"
+    assert m.rr > 88.0, f"parity-mode RR regressed: {m.rr}"
+    assert m.f1 > 0.93, f"parity-mode F1 regressed: {m.f1}"
+
+
 def test_parked_cars_not_removed(window_result):
     """Label 10 (parked cars) is static - none of it may be removed."""
     _, win, res = window_result

@@ -110,6 +110,21 @@ def main():
                    cfg.seg.far_range_frac),
                root.astype(jnp.float32))
 
+    if "fused" in which:
+        from dr_using_scv_od_tpu.ops.pallas import fused_seg
+        timeit("fused cc+ri3 kernel",
+               lambda o3: fused_seg.cluster_labels_pallas(
+                   o3 > 0.5, grid.intensity_mean, grid.intensity_var,
+                   cfg.seg.search_c, cfg.seg.intensity_cov,
+                   cfg.seg.intensity_diff, cfg.seg.far_range_frac),
+               occ3.astype(jnp.float32))
+
+    if "widestats" in which:
+        def wstats(x, i, ng):
+            _, fl, fov = quantize.quantize(x, ng, cfg.grid)
+            return quantize.voxel_stats_moments(fl, x, i, fov, cfg.grid)
+        timeit("quantize+voxel_stats_moments", wstats, x0, i0, nonground)
+
     if "compact2" in which:
         g = cfg.grid.bin_num
 
