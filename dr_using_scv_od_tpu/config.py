@@ -212,6 +212,13 @@ class GicpConfig:
     # many relinearised steps against the frozen per-voxel Gaussians
     # (correspondences barely move between nearby iterates at ~1 m voxels).
     inner_iters: int = 3
+    # Source-cloud budget for the GN solver (static-stride subsample; the
+    # target voxel map always uses the full cloud). Gathering target
+    # stats per correspondence pass costs ~30 ns/source-point on TPU, so
+    # this knob prices the whole solver; 32k keeps 6 DoF vastly
+    # over-determined. 0 disables. Beyond-reference perf knob (the
+    # reference has no ICP at all, SURVEY 2.2).
+    max_source_points: int = 32768
     tolerance: float = 1e-4
     min_pts_per_voxel: int = 4
     # Covariance regularisation: eigenvalues scaled to (1, 1, eps) as in GICP

@@ -143,10 +143,16 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
                   "default")[:, 0].astype(jnp.int32)
 
     # ---- LPR seed height via per-patch z histogram
+    from ..ops import segment_ops
     zone0 = _zone0_mask(cfg)
     margin = cfg.adaptive_seed_selection_margin * cfg.sensor_height
+    pid_c = jnp.clip(pid, 0, P - 1)
+    # per-point reads of per-patch tables run as select trees / matmuls
+    # against the shared selector - [N]-shaped gathers from small tables
+    # cost ~3-4 ms each on TPU (segment_ops.small_table_lookup)
+    zone0_pt = segment_ops.small_table_lookup(zone0, pid_c, 1)
     # zone0 skips the sorted prefix below the margin (patchwork.h:245-253)
-    in_hist = binned & ~(zone0[jnp.clip(pid, 0, P - 1)] & (z < margin))
+    in_hist = binned & ~(zone0_pt & (z < margin))
     z_lo = -1.8 * cfg.sensor_height          # points below got erased
     z_hi = z_lo + 8.0                        # seeds live near the ground
     zbin = jnp.clip(((z - z_lo) / (z_hi - z_lo) * NB), 0, NB - 1
@@ -167,8 +173,11 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     zsum_cum = jnp.cumsum(zsum, axis=1)[jnp.arange(P), lpr_bin]
     lpr_height = zsum_cum / jnp.maximum(take, 1)
 
-    seeds = in_hist & (z < (lpr_height[jnp.clip(pid, 0, P - 1)]
-                            + cfg.th_seeds))
+    # lpr_height broadcast to points by matmul against the selector
+    lpr_pt = jnp.matmul(lpr_height[None, :].astype(jnp.float32), oh_pid,
+                        precision="highest",
+                        preferred_element_type=jnp.float32)[0]
+    seeds = in_hist & (z < (lpr_pt + cfg.th_seeds))
 
     # ---- iterative plane fit: one [P, N] @ [N, 10] moment matmul per
     # masked fit ('highest' precision - second moments need the f32 path,
@@ -205,9 +214,14 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
         normal, mean, evals = fit(mask)
         # th_dist_d = th_dist - d, d = -n . mean  (patchwork.h:229-231)
         th = cfg.th_dist + jnp.einsum('pc,pc->p', normal, mean)
-        dist = jnp.einsum('nc,nc->n', xyz,
-                          normal[jnp.clip(pid, 0, P - 1)])
-        mask = binned & (dist < th[jnp.clip(pid, 0, P - 1)])
+        # per-point (normal, th) via ONE [4,P] @ [P,N] matmul on the
+        # shared selector instead of two [N]-from-[P] gathers
+        coeff = jnp.concatenate([normal, th[:, None]], axis=1)  # [P,4]
+        cpt = jnp.matmul(coeff.T, oh_pid, precision="highest",
+                         preferred_element_type=jnp.float32)    # [4,N]
+        dist = (xyz[:, 0] * cpt[0] + xyz[:, 1] * cpt[1]
+                + xyz[:, 2] * cpt[2])
+        mask = binned & (dist < cpt[3])
 
     # ---- patch verdicts (patchwork.h:339-384)
     conc_idx, thr_slot = _patch_tables(cfg)
@@ -227,9 +241,10 @@ def estimate_ground(xyz: jnp.ndarray, valid: jnp.ndarray,
     accept = upright & (~too_high | flat_enough)
     processed = counts > cfg.num_min_pts             # patchwork.h:331
 
-    pid_c = jnp.clip(pid, 0, P - 1)
-    ground = binned & processed[pid_c] & accept[pid_c] & mask
-    nonground = binned & processed[pid_c] & ~ground
+    proc_pt = segment_ops.small_table_lookup(processed, pid_c, 1)
+    acc_pt = segment_ops.small_table_lookup(accept, pid_c, 1)
+    ground = binned & proc_pt & acc_pt & mask
+    nonground = binned & proc_pt & ~ground
     ground = ground & valid
     nonground = nonground & valid
     dropped = valid & ~ground & ~nonground

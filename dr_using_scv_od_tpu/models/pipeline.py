@@ -46,7 +46,7 @@ def process_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     table, feats = recognition.recognize(
         seg.clusters, xyz, seg.point_cluster, point_voxel, cfg,
         label_grid=seg.label_grid, voxel_count=grid.count,
-        planar_vox=seg.planar_vox)
+        planar_vox=seg.planar_vox, n_planar=seg.n_planar)
 
     state = FrameState(
         points=PointCloud(xyz=xyz, intensity=intensity, valid=valid),
@@ -149,16 +149,19 @@ def run_window(xyz: jnp.ndarray, intensity: jnp.ndarray,
         frames.state.label_grid, frames.state.clusters, poses, cfg,
         init_carry=init_track)
 
-    # final per-point cluster from the mutated grids
-    G = cfg.grid.bin_num
+    # final per-point cluster: the tracking scan already paid the
+    # [N]-from-[G] lookup per frame (TrackingResult.point_cluster)
+    from ..ops import segment_ops
     C = cfg.shapes.max_clusters
-    pv_safe = jnp.clip(frames.state.point_voxel, 0, G - 1)
-    pc = jnp.take_along_axis(tr.label_grids, pv_safe, axis=1)
-    pc = jnp.where(in_grid & valid, pc, -1)
+    pc = tr.point_cluster
 
+    # per-point dynamic flag via the select tree (a [F,N] gather from the
+    # [F,C] state table costs ~4 ms/frame on TPU)
+    dyn_row = tr.tables.state == 1                     # [F, C] bool
     pc_safe = jnp.clip(pc, 0, C - 1)
-    state = jnp.take_along_axis(tr.tables.state, pc_safe, axis=1)
-    removed = (pc >= 0) & (state == 1)
+    is_dyn = jax.vmap(segment_ops.small_table_lookup,
+                      in_axes=(0, 0, None))(dyn_row, pc_safe, 1)
+    removed = (pc >= 0) & is_dyn
     if bbox_dropped_dynamic:
         removed = removed | (frames.state.point_route == ROUTE_BBOX_DYNAMIC)
     if cfg.track.dynamic_bbox_sweep:

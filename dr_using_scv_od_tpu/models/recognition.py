@@ -107,7 +107,8 @@ def recognize(table: ClusterTable, xyz: jnp.ndarray,
               cfg: PipelineConfig,
               label_grid: jnp.ndarray | None = None,
               voxel_count: jnp.ndarray | None = None,
-              planar_vox: jnp.ndarray | None = None
+              planar_vox: jnp.ndarray | None = None,
+              n_planar: jnp.ndarray | None = None
               ) -> tuple[ClusterTable, Features]:
     """Classify every live cluster; returns updated table + features.
 
@@ -125,17 +126,20 @@ def recognize(table: ClusterTable, xyz: jnp.ndarray,
     C = table.c
     valid_pt = point_cluster >= 0
 
-    if planar_vox is None:
-        planar_vox = voxel_planarity(xyz, point_voxel, valid_pt, cfg)
-    if label_grid is not None and voxel_count is not None:
-        w = jnp.where(planar_vox, voxel_count.astype(jnp.float32), 0.0)
-        n_planar = segment_ops.grid_label_counts(
-            label_grid, C, weights=w,
-            weight_bound=cfg.shapes.max_points + 1)
-    else:
-        pv_safe = jnp.clip(point_voxel, 0, cfg.grid.bin_num - 1)
-        pt_planar = valid_pt & planar_vox[pv_safe]
-        n_planar = segment_ops.segment_count(point_cluster, pt_planar, C)
+    if n_planar is None:
+        if planar_vox is None:
+            planar_vox = voxel_planarity(xyz, point_voxel, valid_pt, cfg)
+        if label_grid is not None and voxel_count is not None:
+            w = jnp.where(planar_vox, voxel_count.astype(jnp.float32),
+                          0.0)
+            n_planar = segment_ops.grid_label_counts(
+                label_grid, C, weights=w,
+                weight_bound=cfg.shapes.max_points + 1)
+        else:
+            pv_safe = jnp.clip(point_voxel, 0, cfg.grid.bin_num - 1)
+            pt_planar = valid_pt & planar_vox[pv_safe]
+            n_planar = segment_ops.segment_count(point_cluster,
+                                                 pt_planar, C)
     n_pts = jnp.maximum(table.n_points, 1)
     planar_ratio = n_planar.astype(jnp.float32) / n_pts.astype(jnp.float32)
 

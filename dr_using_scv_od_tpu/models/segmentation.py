@@ -46,6 +46,8 @@ class SegmentResult(NamedTuple):
     planar_vox: jnp.ndarray     # [G] bool per-voxel planarity (from the
     #                             fused moment scatter; feeds recognition's
     #                             RPC replacement with no extra scatter)
+    n_planar: jnp.ndarray       # [C] f32 planar-point count per cluster
+    #                             (rides the segment histogram matmul)
 
 
 def _shift_gather(padded: jnp.ndarray, da: jnp.ndarray, dr: jnp.ndarray,
@@ -212,14 +214,18 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     # matmul): exactly the per-point segment count, because every in-FOV
     # point's voxel carries its cluster label and grid.count counts
     # exactly the in-FOV points per voxel - but with no [N]-update
-    # scatter (~4 ms saved on TPU)
-    n_points = segment_ops.grid_label_counts(
-        label_grid, C, weights=grid.count.astype(jnp.float32),
-        weight_bound=cfg.shapes.max_points + 1).astype(jnp.int32)
+    # scatter (~4 ms saved on TPU). Voxel counts AND recognition's
+    # planar-point counts ride the same one-hot formation; n_planar over
+    # the PRE-filter grid is exact for every live cluster (dropped rows'
+    # voxels differ but their planar_ratio is never consumed).
+    cnt_f = grid.count.astype(jnp.float32)
+    n_voxels, (n_points_f, n_planar) = segment_ops.grid_label_hist_multi(
+        label_grid, C, [cnt_f, jnp.where(planar_vox, cnt_f, 0.0)],
+        weight_bound=cfg.shapes.max_points + 1)
+    n_points = n_points_f.astype(jnp.int32)
     bbox_min = segment_ops.segment_min(xyz, point_cluster, in_fov, C)
     bbox_max = segment_ops.segment_max(xyz, point_cluster, in_fov, C)
     grid_valid = label_grid >= 0
-    n_voxels = segment_ops.grid_label_counts(label_grid, C)
     alive = roots != sentinel
 
     # --- bounding-box refinement (src/ssc.cpp:437-467)
@@ -235,22 +241,28 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
                            | (n_points < cfg.seg.to_be_class))
     alive = alive & ~drop
 
-    # erase dropped clusters from the grid + points
+    # erase dropped clusters from the grid + points. All three per-
+    # element reads of the [C]-row verdict tables run as select trees
+    # (segment_ops.small_table_lookup): a [G]-shaped gather from a small
+    # table costs 13 ms on TPU, an [N]-shaped one ~4 ms; the trees are
+    # ~0.25 ms each.
     keep_row = alive
-    label_grid = jnp.where(
-        grid_valid & keep_row[jnp.clip(label_grid, 0, C - 1)],
-        label_grid, -1)
+    keep_g = segment_ops.small_table_lookup(
+        keep_row, jnp.clip(label_grid, 0, C - 1), 1)
+    label_grid = jnp.where(grid_valid & keep_g, label_grid, -1)
     pc_safe = jnp.clip(point_cluster, 0, C - 1)
-    point_alive = (point_cluster >= 0) & keep_row[pc_safe]
+    point_alive = (point_cluster >= 0) & segment_ops.small_table_lookup(
+        keep_row, pc_safe, 1)
     point_in_dropped = (point_cluster >= 0) & ~point_alive
+    dd_pt = segment_ops.small_table_lookup(drop_dynamic, pc_safe, 1)
 
     route = jnp.full(xyz.shape[0], ROUTE_OUT_OF_FOV, jnp.int32)
     route = jnp.where(ground, ROUTE_GROUND, route)
     route = jnp.where(dropped, ROUTE_DROPPED, route)
     route = jnp.where(in_fov, ROUTE_PIPELINE, route)
-    route = jnp.where(point_in_dropped & drop_dynamic[pc_safe],
+    route = jnp.where(point_in_dropped & dd_pt,
                       ROUTE_BBOX_DYNAMIC, route)
-    route = jnp.where(point_in_dropped & ~drop_dynamic[pc_safe],
+    route = jnp.where(point_in_dropped & ~dd_pt,
                       ROUTE_BBOX_STATIC, route)
     point_cluster = jnp.where(point_alive, point_cluster, -1)
 
@@ -273,5 +285,6 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
         n_clusters=jnp.sum(alive).astype(jnp.int32),
         overflow_points=overflow,
         planar_vox=planar_vox,
+        n_planar=n_planar,
     )
     return result, flat, grid

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from ..types import (STATE_DYNAMIC, STATE_STATIC, TYPE_CAR, ClusterTable)
-from ..ops import geometry, quantize
+from ..ops import geometry, quantize, segment_ops
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -46,6 +46,10 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 class TrackingResult(NamedTuple):
     tables: ClusterTable       # [F, C] finalized (states, track ids, merges)
     label_grids: jnp.ndarray   # [F, G] mutated label grids
+    point_cluster: jnp.ndarray  # [F, N] final per-point cluster ids (the
+    #                             prev-side lookup each pair already pays;
+    #                             returning it saves the caller an [N]-
+    #                             from-[G] re-gather per frame)
     n_dynamic: jnp.ndarray     # [F] int32 dynamic verdicts per pair
     new_row_overflow: jnp.ndarray    # scalar int32 - ran out of cluster rows
     track_point_overflow: jnp.ndarray  # scalar int32 - points past the
@@ -78,8 +82,12 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     pv_safe = jnp.clip(prev_point_voxel, 0, G - 1)
     pc = jnp.where(prev_valid & (prev_point_voxel >= 0),
                    prev_grid[pv_safe], -1)
+    pc_full = pc                  # final per-point clusters of prev frame
     pc_safe = jnp.clip(pc, 0, C - 1)
-    pt_car = (pc >= 0) & is_car_row[pc_safe]
+    # per-point car flag via the select tree - a [N]-shaped gather from
+    # the C-row table costs ~4 ms on TPU (segment_ops.small_table_lookup)
+    pt_car = (pc >= 0) & segment_ops.small_table_lookup(
+        is_car_row, pc_safe, 1)
 
     # ---- compact car points into a fixed small budget: only car-cluster
     # points are judged (ssc.cpp:1255-1275), and they are a small fraction
@@ -203,7 +211,7 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
         return (prev_table, next_table, next_grid, counter,
                 jnp.sum(verdict_dyn).astype(jnp.int32),
                 jnp.zeros((), jnp.int32),
-                track_overflow.astype(jnp.int32))
+                track_overflow.astype(jnp.int32), pc_full)
 
     # ---- apply split: carve hit voxels of lstar into the new row
     # (ssc.cpp:1355-1374); conflicts resolve to the min new row
@@ -221,7 +229,14 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     claim = jnp.where(qual & got_row[:, None], new_row[:, None], _INT_MAX)
     absorb = jnp.min(claim, axis=0)              # [C] target row or INT_MAX
     lab_safe = jnp.clip(next_grid_mut, 0, C - 1)
-    absorbed_to = jnp.where(next_grid_mut >= 0, absorb[lab_safe], _INT_MAX)
+    # row -> target-row relabel over the [G] grid via the select tree
+    # (encode "not absorbed" as C; a [G]-shaped gather from the C-row
+    # table costs 13 ms on TPU, the tree ~2.5)
+    bits = max((C + 1).bit_length(), 1)
+    absorb_enc = jnp.where(absorb == _INT_MAX, C, absorb)
+    lut = segment_ops.small_table_lookup(absorb_enc, lab_safe, bits)
+    absorbed_to = jnp.where((next_grid_mut >= 0) & (lut < C), lut,
+                            _INT_MAX)
     next_grid_mut = jnp.where(absorbed_to != _INT_MAX, absorbed_to,
                               next_grid_mut)
 
@@ -249,7 +264,6 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
 
     # recompute per-row voxel counts from the mutated grid (outer-product
     # histogram matmul - a [G]-sized scatter costs ~15 ms/pair on TPU)
-    from ..ops import segment_ops
     nvox = segment_ops.grid_label_counts(next_grid_mut, C)
     valid_next = valid_next & ((nvox > 0) | ~next_table.valid | new_is_row)
 
@@ -257,7 +271,8 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
         valid=valid_next, type=type_next, track_id=tid_next, n_voxels=nvox)
     n_dyn = jnp.sum(verdict_dyn).astype(jnp.int32)
     return (prev_table, next_table_mut, next_grid_mut, counter, n_dyn,
-            overflow.astype(jnp.int32), track_overflow.astype(jnp.int32))
+            overflow.astype(jnp.int32), track_overflow.astype(jnp.int32),
+            pc_full)
 
 
 def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
@@ -289,13 +304,13 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
         nxt_table = at(tables, t + 1)
         nxt_grid = label_grids[t + 1]
         T_np = geometry.inverse_se3(poses[t + 1]) @ poses[t]
-        (prev_fin, nxt_mut, nxt_grid_mut, counter, n_dyn, o, to) = \
+        (prev_fin, nxt_mut, nxt_grid_mut, counter, n_dyn, o, to, pc) = \
             _pair_step(
                 cur_table, cur_grid, nxt_table, nxt_grid,
                 xyz[t], point_voxel[t], point_valid[t],
                 T_np, counter, cfg)
         return ((nxt_mut, nxt_grid_mut, counter, ovf + o, tovf + to),
-                (prev_fin, cur_grid, n_dyn))
+                (prev_fin, cur_grid, n_dyn, pc))
 
     if init_carry is None:
         t0, g0, c0 = at(tables, 0), label_grids[0], jnp.zeros((), jnp.int32)
@@ -304,7 +319,7 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
     init = (t0, g0, c0,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     ((last_table, last_grid, counter, overflow, track_overflow),
-     (fin_tables, fin_grids, n_dyn)) = \
+     (fin_tables, fin_grids, n_dyn, fin_pc)) = \
         jax.lax.scan(step, init, jnp.arange(F - 1))
 
     # append the final frame (its clusters get no verdicts - same as the
@@ -314,7 +329,15 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
         fin_tables, last_table)
     all_grids = jnp.concatenate([fin_grids, last_grid[None]], axis=0)
     n_dyn = jnp.concatenate([n_dyn, jnp.zeros((1,), jnp.int32)])
+    # the last frame's per-point clusters: the one [N]-from-[G] gather the
+    # scan did not already pay
+    G = last_grid.shape[0]
+    pv_last = jnp.clip(point_voxel[F - 1], 0, G - 1)
+    pc_last = jnp.where(point_valid[F - 1] & (point_voxel[F - 1] >= 0),
+                        last_grid[pv_last], -1)
+    all_pc = jnp.concatenate([fin_pc, pc_last[None]], axis=0)
     return TrackingResult(tables=all_tables, label_grids=all_grids,
+                          point_cluster=all_pc,
                           n_dynamic=n_dyn, new_row_overflow=overflow,
                           track_point_overflow=track_overflow,
                           counter=counter)

@@ -203,9 +203,12 @@ def cluster_labels_pallas(occupied3: jnp.ndarray,
                           enable_shell: bool = True,
                           max_outer: int = 32,
                           local_iters: int = 1,
-                          cc_reps: int = 3,
+                          cc_reps: int = 1,
                           return_iters: bool = False,
                           interpret: bool = False) -> jnp.ndarray:
+    # NB cc_reps > 2 at full grid size overflows the v5e scoped-VMEM
+    # budget (117 MB live temporaries vs the 106 MB limit, measured) and
+    # buys < 2 ms - one cheb-1 sweep per round is the shipping config.
     """Fused CVC + RI3 labels: [A,R,S] occupancy (+ per-voxel intensity
     stats) -> [G] int32 min-original-flat-id component labels under the
     union graph (empty cells hold their own flat id).

@@ -83,6 +83,90 @@ def grid_label_counts(labels: jnp.ndarray, num: int,
     return total.reshape(H * L)[:num]
 
 
+def grid_label_hist_multi(labels: jnp.ndarray, num: int,
+                          weights: list, weight_bound: int
+                          ) -> tuple[jnp.ndarray, list]:
+    """(plain counts, [weighted histograms...]) over a large label array
+    in ONE shared one-hot formation: the [G,L]/[H,G] one-hot planes
+    dominate the matmul cost at G~1.3M, so every extra weight vector
+    rides the same matmul for ~the marginal RHS columns only. Exactness
+    contract of grid_label_counts (radix-256 split per weight, digit
+    count from `weight_bound`)."""
+    L = 32
+    H = -(-num // L)
+    hi = labels // L
+    lo = labels % L
+    ab = (hi[None, :] == jnp.arange(H, dtype=labels.dtype)[:, None]
+          ).astype(jnp.bfloat16)
+    bf = (lo[:, None] == jnp.arange(L, dtype=labels.dtype)[None, :]
+          ).astype(jnp.bfloat16)
+    n_digits = max(1, -(-max(weight_bound - 1, 1).bit_length() // 8))
+    cols = [bf]
+    for w0 in weights:
+        w = w0
+        for _ in range(n_digits):
+            w_next = jnp.floor(w / 256.0)
+            cols.append(bf * (w - 256.0 * w_next)[:, None
+                                                  ].astype(jnp.bfloat16))
+            w = w_next
+    out = jnp.matmul(ab, jnp.concatenate(cols, axis=1),
+                     preferred_element_type=jnp.float32)
+    counts = out[:, :L].reshape(H * L)[:num].astype(jnp.int32)
+    sums = []
+    for i in range(len(weights)):
+        wsum = jnp.zeros((H, L), jnp.float32)
+        scale = 1.0
+        for d in range(n_digits):
+            k = 1 + i * n_digits + d
+            wsum = wsum + scale * out[:, k * L:(k + 1) * L]
+            scale *= 256.0
+        sums.append(wsum.reshape(H * L)[:num])
+    return counts, sums
+
+
+def grid_label_hist2(labels: jnp.ndarray, num: int, weights: jnp.ndarray,
+                     weight_bound: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(weighted histogram, plain counts) sharing one one-hot formation;
+    see grid_label_hist_multi."""
+    counts, (wsum,) = grid_label_hist_multi(labels, num, [weights],
+                                            weight_bound)
+    return wsum, counts
+
+
+def small_table_lookup(table: jnp.ndarray, idx: jnp.ndarray,
+                       bits: int) -> jnp.ndarray:
+    """table[idx] for a SMALL unsigned-integer table WITHOUT a hardware
+    gather: entries (< 2**bits each) pack into uint32 words, the word is
+    picked by a masked-compare select tree (ceil(C*bits/32) passes over
+    `idx`), and the entry is shifted out.
+
+    Why: TPU gathers run ~30 ns per OUTPUT element regardless of table
+    size (measured v5e: a [1.3M]-shaped bool gather from a 512-row table
+    is 13.3 ms; the select tree is 0.25-3 ms depending on `bits`). Use
+    for per-voxel/per-point lookups of per-cluster or per-patch flags -
+    any idx-shaped read of a table with C <= ~1k rows.
+
+    `idx` must be pre-clipped to [0, C); any shape. Returns int32 (or
+    bool if the table is bool and bits == 1).
+    """
+    was_bool = table.dtype == jnp.bool_
+    C = table.shape[0]
+    per = 32 // bits
+    nw = -(-C // per)
+    ent = jnp.arange(C)
+    words = jax.ops.segment_sum(
+        (table.astype(jnp.uint32)
+         << ((ent % per) * bits).astype(jnp.uint32)),
+        ent // per, num_segments=nw)
+    hi = idx // per
+    w = jnp.zeros(idx.shape, jnp.uint32)
+    for k in range(nw):
+        w = jnp.where(hi == k, words[k], w)
+    out = ((w >> ((idx % per) * bits).astype(jnp.uint32))
+           & jnp.uint32(2 ** bits - 1)).astype(jnp.int32)
+    return out.astype(bool) if was_bool and bits == 1 else out
+
+
 def segment_min(x: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray,
                 num: int, fill: float = jnp.inf) -> jnp.ndarray:
     seg = _seg_ids(ids, valid, num)

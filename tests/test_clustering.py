@@ -183,6 +183,42 @@ def test_grid_label_counts_weighted_and_plain():
     np.testing.assert_array_equal(got_w, want_w)  # radix-split is EXACT
 
 
+def test_small_table_lookup_matches_gather():
+    """The select-tree lookup must equal table[idx] for bool and
+    multi-bit tables on every index shape (the TPU hot paths replace
+    13 ms [G]-shaped gathers with it)."""
+    from dr_using_scv_od_tpu.ops import segment_ops as so
+    rng = np.random.default_rng(5)
+    for C, bits in ((512, 1), (421, 1), (512, 10), (64, 7)):
+        if bits == 1:
+            table = rng.random(C) < 0.5
+        else:
+            table = rng.integers(0, 2 ** bits, C)
+        idx = rng.integers(0, C, 3000).astype(np.int32)
+        got = np.asarray(so.small_table_lookup(
+            jnp.asarray(table), jnp.asarray(idx), bits))
+        np.testing.assert_array_equal(got, np.asarray(table)[idx])
+        # 2-D index shape (the [F,N] vmapped use)
+        idx2 = idx.reshape(30, 100)
+        got2 = np.asarray(so.small_table_lookup(
+            jnp.asarray(table), jnp.asarray(idx2), bits))
+        np.testing.assert_array_equal(got2, np.asarray(table)[idx2])
+
+
+def test_grid_label_hist2_matches_separate_calls():
+    from dr_using_scv_od_tpu.ops import segment_ops as so
+    rng = np.random.default_rng(8)
+    lab = jnp.asarray(rng.integers(-1, 100, 5000).astype(np.int32))
+    w = jnp.asarray(rng.integers(0, 131072, 5000).astype(np.float32))
+    ws, cnt = so.grid_label_hist2(lab, 100, w, weight_bound=131073)
+    np.testing.assert_array_equal(
+        np.asarray(ws),
+        np.asarray(so.grid_label_counts(lab, 100, weights=w,
+                                        weight_bound=131073)))
+    np.testing.assert_array_equal(
+        np.asarray(cnt), np.asarray(so.grid_label_counts(lab, 100)))
+
+
 def test_grid_label_counts_weight_bound_three_digits():
     """Weights >= 2^16 (possible when a degenerate cloud piles max_points
     into one voxel) stay exact when the caller declares the bound - the

@@ -258,7 +258,7 @@ def test_tracking_verdict_lattice_oracle(seed):
         jnp.asarray(valid), jnp.asarray(T_np),
         jnp.asarray(counter, jnp.int32), cfg)
     (prev_fin, next_mut, grid_mut, counter_out, n_dyn, row_ovf,
-     pt_ovf) = got
+     pt_ovf, _pc) = got
     assert int(pt_ovf) == 0 and int(row_ovf) == 0
 
     want = oracle_pair(prev_table, prev_grid, next_table, next_grid,

@@ -82,6 +82,39 @@ def test_voxel_stats(rng):
     assert count.sum() == fov_np.sum()
 
 
+def test_voxel_stats_moments_matches_voxel_stats(rng):
+    """The fused wide-scatter path must reproduce voxel_stats' intensity
+    statistics exactly AND the per-voxel xyz moment sums (the planarity
+    inputs) against a numpy group-by."""
+    grid = config.tiny_test().grid
+    n = 500
+    pts = rng.uniform(-12, 12, size=(n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2, 2, size=n)
+    inten = rng.uniform(0, 255, size=n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[::9] = False
+    _, flat, in_fov = quantize.quantize(jnp.asarray(pts),
+                                        jnp.asarray(valid), grid)
+    vg0 = quantize.voxel_stats(flat, jnp.asarray(inten), in_fov, grid)
+    vg, mom = quantize.voxel_stats_moments(
+        flat, jnp.asarray(pts), jnp.asarray(inten), in_fov, grid)
+    np.testing.assert_array_equal(np.asarray(vg.count),
+                                  np.asarray(vg0.count))
+    np.testing.assert_allclose(np.asarray(vg.intensity_mean),
+                               np.asarray(vg0.intensity_mean), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vg.intensity_var),
+                               np.asarray(vg0.intensity_var),
+                               rtol=1e-5, atol=1e-5)
+    mom = np.asarray(mom)
+    flat_np, fov_np = np.asarray(flat), np.asarray(in_fov)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    cols = np.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z], 1)
+    for v in np.unique(flat_np[fov_np]):
+        sel = cols[(flat_np == v) & fov_np]
+        np.testing.assert_allclose(mom[v], sel.sum(0), rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_voxel_downsample(rng):
     n = 1000
     pts = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
