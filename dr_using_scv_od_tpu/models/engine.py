@@ -527,12 +527,18 @@ class SlamEngine:
     """
 
     def __init__(self, cfg: PipelineConfig, ec: EngineConfig | None = None,
-                 ckpt_dir: str | None = None, ckpt_every: int = 0):
+                 ckpt_dir: str | None = None, ckpt_every: int = 0,
+                 materialize_outputs: bool = True):
         self.cfg = cfg
         self.ec = ec or EngineConfig()
         self.state = init_state(self.ec, cfg)
         self.ckpt_dir = ckpt_dir
         self.ckpt_every = ckpt_every
+        # materialize_outputs=False keeps WindowOutputs device-resident
+        # (each per-leaf host fetch is a blocking round trip on remote
+        # links; a downstream consumer that lives on device - or a caller
+        # that batches its fetches - should opt out)
+        self.materialize_outputs = materialize_outputs
         self._pending: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._first = True
         self._overlap = None
@@ -582,9 +588,13 @@ class SlamEngine:
                 f"keyframe budget exhausted: {self.n_frames} keyframes + "
                 f"{n_new} new > max_keyframes={self.ec.max_keyframes}; "
                 "raise EngineConfig.max_keyframes to fit the sequence")
-        xyz = jnp.asarray(np.stack([b[0] for b in batch]))
-        inten = jnp.asarray(np.stack([b[1] for b in batch]))
-        valid = jnp.asarray(np.stack([b[2] for b in batch]))
+        # jnp.stack keeps device-resident scans on device (feeding numpy
+        # arrays works too, at the cost of one host->device transfer per
+        # window - on the tunneled bench that transfer dominated the
+        # whole step, ~130 ms/frame)
+        xyz = jnp.stack([jnp.asarray(b[0]) for b in batch])
+        inten = jnp.stack([jnp.asarray(b[1]) for b in batch])
+        valid = jnp.stack([jnp.asarray(b[2]) for b in batch])
 
         self.windows += 1
         run_er = (self.ec.erasor_every > 0
@@ -594,7 +604,8 @@ class SlamEngine:
             self.ec, self.cfg)
         self._overlap = batch[-1]
         self._first = False
-        self.outputs.append(jax.tree.map(np.asarray, out))
+        self.outputs.append(jax.tree.map(np.asarray, out)
+                            if self.materialize_outputs else out)
 
         if (self.ckpt_dir and self.ckpt_every
                 and self.n_frames - self._last_ckpt >= self.ckpt_every):

@@ -204,11 +204,14 @@ def cluster_labels_pallas(occupied3: jnp.ndarray,
                           max_outer: int = 32,
                           local_iters: int = 1,
                           cc_reps: int = 1,
+                          ab: int = 20,
                           return_iters: bool = False,
                           interpret: bool = False) -> jnp.ndarray:
-    # NB cc_reps > 2 at full grid size overflows the v5e scoped-VMEM
-    # budget (117 MB live temporaries vs the 106 MB limit, measured) and
-    # buys < 2 ms - one cheb-1 sweep per round is the shipping config.
+    # NB cc_reps > 2 at full grid size with ab=20 overflows the v5e
+    # scoped-VMEM budget (117 MB live temporaries vs the 106 MB limit,
+    # measured) and buys < 2 ms - one cheb-1 sweep per round is the
+    # shipping config; `ab` (azimuth slabs per tile) trades VMEM
+    # pressure for grid-step count.
     """Fused CVC + RI3 labels: [A,R,S] occupancy (+ per-voxel intensity
     stats) -> [G] int32 min-original-flat-id component labels under the
     union graph (empty cells hold their own flat id).
@@ -222,7 +225,7 @@ def cluster_labels_pallas(occupied3: jnp.ndarray,
     G = A * R * S
     S_pad = _round_up(S, 128)
     H = max(2, search_c) * local_iters
-    AB = min(A, 20)
+    AB = min(A, ab)
     n_tiles = -(-A // AB)
     A_pad = n_tiles * AB + 2 * H
     inf = jnp.iinfo(jnp.int32).max // 2
