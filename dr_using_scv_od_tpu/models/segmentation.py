@@ -188,6 +188,14 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
     # On TPU both run as ONE fused VMEM-tiled Pallas kernel (the union-
     # graph fixpoint, ops/pallas/fused_seg.py); the XLA formulations
     # remain the CPU/test path and the semantic reference.
+    # BACKEND SEMANTICS of cfg.seg.iteration: on CPU/XLA it bounds the
+    # refine rounds exactly like the reference's loop (src/ssc.cpp:1143);
+    # on TPU any iteration > 0 means RUN TO FIXPOINT (the fused kernel's
+    # convergence loop). The fixpoint is the transitive closure every
+    # bounded round sequence approaches, so the TPU path is the converged
+    # semantics, not a different rule; under-converged scenes can differ
+    # between backends (parity tests pin iteration high to compare at the
+    # common fixpoint). iteration == 0 disables RI3 on both backends.
     occ3 = grid.occupied.reshape(shape3)
     use_pallas = jax.default_backend() != "cpu"
     if use_pallas:

@@ -15,9 +15,10 @@ Tiling: the grid [A, R, S] flattens to rows (a*R + r) x lanes (sector,
 padded to a 128 multiple). Tiles cover AB azimuth slabs plus H = LOCAL_ITERS
 halo slabs on each side, so tile interiors are exact after LOCAL_ITERS
 in-VMEM iterations (information crosses at most one slab per iteration).
-The azimuth pad slabs are empty, which kills wrap-around artifacts without
-any explicit azimuth masks. The outer convergence loop lives in XLA and
-re-invokes the kernel until no label changes.
+Scratch rolls over the azimuth slab axis are circular, and on multi-tile
+grids both scratch edges are REAL halo slabs, so every azimuth offset and
+scan carries an explicit a-coordinate boundary mask. The outer convergence
+loop lives in XLA and re-invokes the kernel until no label changes.
 
 Labels use the PADDED flat id ((a+H)*R + r)*S_pad + s during iteration -
 strictly monotone in (a, r, s), so the component minimum maps back to the
@@ -137,6 +138,13 @@ def _cc_tile_kernel(occ_hbm, lab_hbm, lab_out, changed_out,
                     sh = jnp.where(r_iota == R - 1, inf, sh)
                 elif dr == -1:
                     sh = jnp.where(r_iota == 0, inf, sh)
+                # azimuth wrap guard: the roll is circular over the
+                # scratch, and on multi-tile grids the scratch-edge
+                # slabs are REAL halo voxels, not empty padding
+                if da == 1:
+                    sh = jnp.where(a_iota == rows_a - 1, inf, sh)
+                elif da == -1:
+                    sh = jnp.where(a_iota == 0, inf, sh)
                 tot = jnp.minimum(tot, sh)
         tot = jnp.where(occ, jnp.minimum(lab, tot), inf)
         # log-depth propagation along occupied RANGE and AZIMUTH runs
@@ -161,6 +169,7 @@ def _cc_tile_kernel(occ_hbm, lab_hbm, lab_out, changed_out,
 
 def connected_components_pallas(occupied: jnp.ndarray,
                                 max_outer: int = 64,
+                                ab: int = 20,
                                 interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for ops.clustering.connected_components:
     [A,R,S] bool -> [G] int32 min-original-flat-id labels (empty cells hold
@@ -174,7 +183,7 @@ def connected_components_pallas(occupied: jnp.ndarray,
     # so keep a few local iters per HBM round for blobby/sloped shapes
     local_iters = 4
     H = 4
-    AB = min(A, 20)
+    AB = min(A, ab)
     n_tiles = -(-A // AB)
     A_pad = n_tiles * AB + 2 * H
     inf = jnp.iinfo(jnp.int32).max // 2

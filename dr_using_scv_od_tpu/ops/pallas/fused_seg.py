@@ -178,6 +178,17 @@ def _fused_tile_kernel(lab_hbm, enc_hbm, lab_out, changed_out,
                             ok = ok & (r_iota < R - dr)
                         elif dr <= -1:
                             ok = ok & (r_iota >= -dr)
+                        # azimuth boundary guard: pltpu.roll wraps
+                        # circularly over the scratch slab axis, and on
+                        # multi-tile grids both scratch edges are REAL
+                        # halo slabs - without this mask a wrapped
+                        # neighbour ~(AB+2H) slabs away could form a
+                        # false union edge that the run scans below
+                        # propagate into the tile interior
+                        if da >= 1:
+                            ok = ok & (a_iota < rows_a - da)
+                        elif da <= -1:
+                            ok = ok & (a_iota >= -da)
                         ok = ok & ~lane_bad
                         tot = jnp.minimum(tot, jnp.where(ok, nb_lab, inf))
 

@@ -151,6 +151,12 @@ def _ri3_tile_kernel(lab_hbm, orig_hbm, enc_hbm,
                         ok = ok & (r_iota < R - dr)
                     elif dr <= -1:
                         ok = ok & (r_iota >= -dr)
+                    # azimuth wrap guard (see fused_seg.py: scratch-edge
+                    # slabs are real on multi-tile grids)
+                    if da >= 1:
+                        ok = ok & (a_iota < rows_a - da)
+                    elif da <= -1:
+                        ok = ok & (a_iota >= -da)
                     ok = ok & ~lane_bad
                     tot = jnp.minimum(tot, jnp.where(ok, nb_lab, inf))
 
@@ -175,6 +181,7 @@ def refine_by_intensity_pallas(root_grid: jnp.ndarray, count: jnp.ndarray,
                                shape3, search_c: int, intensity_cov: float,
                                intensity_diff: float, far_range_frac: float,
                                max_outer: int = 16,
+                               ab: int = 20,
                                interpret: bool = False) -> jnp.ndarray:
     """[G] root labels -> fused [G] root labels (empty cells keep their
     own-id self-loops, same contract as ops.clustering).
@@ -188,7 +195,7 @@ def refine_by_intensity_pallas(root_grid: jnp.ndarray, count: jnp.ndarray,
     S_pad = _round_up(S, 128)
     local_iters = 1
     H = search_c * local_iters
-    AB = min(A, 20)
+    AB = min(A, ab)
     n_tiles = -(-A // AB)
     A_pad = n_tiles * AB + 2 * H
     inf = jnp.iinfo(jnp.int32).max // 2
