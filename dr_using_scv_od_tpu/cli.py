@@ -237,6 +237,7 @@ def cmd_slam(args):
     ec = engine.EngineConfig(
         window=args.window, max_keyframes=args.max_keyframes,
         submap_points=args.submap_points,
+        kf_dist=args.kf_dist, kf_rot=args.kf_rot,
         erasor_every=args.erasor_every,
         drift_bias=tuple(json.loads(args.drift_bias)) if args.drift_bias
         else (0.0,) * 6)
@@ -258,22 +259,25 @@ def cmd_slam(args):
         out = eng.feed(win["xyz"][f], win["intensity"][f], win["valid"][f])
         if out is not None:
             n_dyn += int(np.sum(out.n_dynamic))
-            if bool(out.loop_accepted):
-                i, j = (int(v) for v in out.loop_pair)
+            for r in np.flatnonzero(np.asarray(out.loop_accepted)):
+                i, j = (int(v) for v in out.loop_pair[r])
                 print(f"  loop closed: kf {i} <- {j} "
-                      f"(score {float(out.loop_score):.3f}, "
-                      f"rmse {float(out.loop_rmse):.3f})")
+                      f"(score {float(out.loop_score[r]):.3f}, "
+                      f"rmse {float(out.loop_rmse[r]):.3f})")
     eng.finalize()
 
     poses = eng.poses()
     st = eng.state
-    print(f"frames={eng.n_frames}  loops={int(st.n_loops)}  "
+    print(f"frames={eng.n_frames}  keyframes={eng.n_keyframes}  "
+          f"loops={int(st.n_loops)}  "
           f"dynamic_clusters={n_dyn}  "
           f"erasor_removed={int(st.erasor_removed)}  "
           f"odo_fallbacks={int(st.odo_fallbacks)}")
     if "poses" in win:
         import jax.numpy as jnp
-        gt = jnp.asarray(win["poses"][:eng.n_frames])
+        # compare each KEYFRAME's pose against the GT pose of the scan
+        # that created it (with gating off, keyframes == scans)
+        gt = jnp.asarray(win["poses"][eng.kf_frames()])
         ate = float(odometry.ate_rmse(jnp.asarray(poses), gt))
         print(f"ATE={ate:.3f} m")
     if args.out:
@@ -584,6 +588,11 @@ def main(argv=None):
     sp.add_argument("--window", type=int, default=6)
     sp.add_argument("--max-keyframes", type=int, default=128)
     sp.add_argument("--submap-points", type=int, default=4096)
+    sp.add_argument("--kf-dist", type=float, default=0.0,
+                    help="keyframe distance gate in metres (0=every scan "
+                         "is a keyframe)")
+    sp.add_argument("--kf-rot", type=float, default=0.0,
+                    help="keyframe rotation gate in radians (0=off)")
     sp.add_argument("--erasor-every", type=int, default=4,
                     help="windows between ERASOR map cleanings (0=final)")
     sp.add_argument("--ckpt-every", type=int, default=0,
