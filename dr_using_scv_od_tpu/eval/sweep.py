@@ -2,14 +2,18 @@
 
 Reproduces the reference's overlap-ratio experiment (doc/note.txt:81-101,
 plotted by tool/plotPR.py): PR/RR as a function of the `occupancy`
-threshold. Each threshold re-runs only the tracking + verdict stage; the
-per-frame segmentation is shared across the sweep (the reference re-ran
-the whole binary per point)."""
+threshold. The per-frame segmentation is shared across the sweep (the
+reference re-ran the whole binary per point), and the tracking + verdict
+stage runs ALL thresholds in ONE vmapped jit: occupancy is a scalar
+compare in the verdict lattice, so the threshold axis batches cleanly -
+one compile per sweep instead of one per threshold (each fresh
+track_window compile costs ~40s-4min through the remote TPU compiler)."""
 
 from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,25 +46,32 @@ def occupancy_sweep(xyz: jnp.ndarray, intensity: jnp.ndarray,
     G = cfg.grid.bin_num
     C = cfg.shapes.max_clusters
 
-    rows = []
-    for thr in thresholds:
-        track_kw = {"occupancy": thr}
-        if compensation is not None:
-            track_kw["enable_compensation"] = compensation
+    cfg_t = cfg
+    if compensation is not None:
         cfg_t = dataclasses.replace(
-            cfg, track=dataclasses.replace(cfg.track, **track_kw))
+            cfg, track=dataclasses.replace(cfg.track,
+                                           enable_compensation=compensation))
+
+    def one_threshold(thr):
         tr = tracking_mod.track_window(
             xyz, frames.state.point_voxel, pt_valid,
-            frames.state.label_grid, frames.state.clusters, poses, cfg_t)
+            frames.state.label_grid, frames.state.clusters, poses, cfg_t,
+            occupancy=thr)
         pv_safe = jnp.clip(frames.state.point_voxel, 0, G - 1)
         pc = jnp.take_along_axis(tr.label_grids, pv_safe, axis=1)
         pc = jnp.where(pt_valid, pc, -1)
         st = jnp.take_along_axis(tr.tables.state,
                                  jnp.clip(pc, 0, C - 1), axis=1)
-        removed = (pc >= 0) & (st == 1) & valid
-        upto = F - 1 if judged_only else F
+        return (pc >= 0) & (st == 1) & valid       # removed [F,N]
+
+    removed_all = jax.jit(jax.vmap(one_threshold))(
+        jnp.asarray(thresholds, jnp.float32))      # [T,F,N]
+
+    rows = []
+    upto = F - 1 if judged_only else F
+    for i, thr in enumerate(thresholds):
         m = metrics.removal_metrics(labels[:upto].reshape(-1),
-                                    removed[:upto].reshape(-1),
+                                    removed_all[i, :upto].reshape(-1),
                                     valid[:upto].reshape(-1))
         rows.append({"threshold": float(thr), "pr": m.pr, "rr": m.rr,
                      "f1": m.f1})

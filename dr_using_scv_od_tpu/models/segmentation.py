@@ -231,8 +231,9 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
         label_grid, C, [cnt_f, jnp.where(planar_vox, cnt_f, 0.0)],
         weight_bound=cfg.shapes.max_points + 1)
     n_points = n_points_f.astype(jnp.int32)
-    bbox_min = segment_ops.segment_min(xyz, point_cluster, in_fov, C)
-    bbox_max = segment_ops.segment_max(xyz, point_cluster, in_fov, C)
+    # one fused min/max scatter (see segment_ops.segment_minmax)
+    bbox_min, bbox_max = segment_ops.segment_minmax(
+        xyz, point_cluster, in_fov, C)
     grid_valid = label_grid >= 0
     alive = roots != sentinel
 

@@ -64,7 +64,7 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
                prev_xyz: jnp.ndarray, prev_point_voxel: jnp.ndarray,
                prev_valid: jnp.ndarray,
                T_np: jnp.ndarray, counter: jnp.ndarray,
-               cfg: PipelineConfig):
+               cfg: PipelineConfig, occupancy: jnp.ndarray | None = None):
     """One tracking pair. Returns (prev_table_final, next_table_mut,
     next_grid_mut, counter, n_dynamic, overflow)."""
     C = cfg.shapes.max_clusters
@@ -163,7 +163,10 @@ def _pair_step(prev_table: ClusterTable, prev_grid: jnp.ndarray,
     ratio1 = ratio[jnp.arange(C), lstar_safe]
     lstar_is_car = next_table.type[lstar_safe] == TYPE_CAR
 
-    occ = cfg.track.occupancy
+    # the occupancy threshold is a SCALAR compare in the verdict lattice,
+    # so it may be a traced override (eval/sweep.py vmaps the whole
+    # window over a threshold axis - one compile for the entire sweep)
+    occ = cfg.track.occupancy if occupancy is None else occupancy
     # only car clusters WITH at least one surviving budgeted point AND
     # coverage-preserving sampling are judged; budget-truncated clusters
     # keep their prior state
@@ -279,7 +282,8 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
                  point_valid: jnp.ndarray, label_grids: jnp.ndarray,
                  tables: ClusterTable, poses: jnp.ndarray,
                  cfg: PipelineConfig,
-                 init_carry=None) -> TrackingResult:
+                 init_carry=None,
+                 occupancy: jnp.ndarray | None = None) -> TrackingResult:
     """Run tracking over a window of F frames (scan over pairs,
     src/ssc.cpp:1450-1452).
 
@@ -308,7 +312,7 @@ def track_window(xyz: jnp.ndarray, point_voxel: jnp.ndarray,
             _pair_step(
                 cur_table, cur_grid, nxt_table, nxt_grid,
                 xyz[t], point_voxel[t], point_valid[t],
-                T_np, counter, cfg)
+                T_np, counter, cfg, occupancy)
         return ((nxt_mut, nxt_grid_mut, counter, ovf + o, tovf + to),
                 (prev_fin, cur_grid, n_dyn, pc))
 
