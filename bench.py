@@ -307,11 +307,22 @@ def main():
             trajectory="loop", loop_frames=24, loop_radius=18.0,
             n_moving_cars=2)
         scene_l = synthetic.make_scene(spec)
-        Fs = 26
+        Fs = 56          # 11 windows -> 8 steady after variant warmups
         win_l = synthetic.render_window(scene_l, Fs, cfg.shapes.max_points)
+        import dataclasses as _dc
+        # EXACTLY the config of the 512-scan cli demo (`slam --scene loop
+        # --frames 512 --kf-dist 4.0 --loop-min-score 0.84
+        # --erasor-max-range 45 --erasor-max-pts 256`), so that run
+        # reuses these compiled executables. kf_dist=4.0 < the 4.7 m
+        # frame step of this scene -> every scan still keyframes (the
+        # round-4 comparable behavior) while the GATED code path runs.
         ec = engine_mod.EngineConfig(
-            window=6, max_keyframes=32, submap_points=4096,
-            local_map_kf=3, loop_min_gap=8, loop_min_score=0.90)
+            window=6, max_keyframes=128, submap_points=4096,
+            local_map_kf=3, kf_dist=4.0,
+            loop_min_gap=8, loop_min_score=0.84, max_loop_edges=32,
+            erasor=_dc.replace(engine_mod.erasor_mod.ErasorConfig(),
+                               max_range=45.0, max_pts_per_bin=256),
+            erasor_every=4)   # periodic ERASOR INCLUDED in the headline
         # device-resident streaming: scans pre-staged on device, outputs
         # left on device (a production consumer is the next device stage;
         # pulling ~15 arrays through the tunnel per window costs a
@@ -323,30 +334,99 @@ def main():
         int_d = jax.device_put(jnp.asarray(win_l["intensity"]))
         val_d = jax.device_put(jnp.asarray(win_l["valid"]))
         t_steps = []
+        seen_variants = set()
+        snap = None       # (state, first_frame) before a steady window
         for f in range(Fs):
+            run_er = (ec.erasor_every > 0
+                      and (eng.windows + 1) % ec.erasor_every == 0)
+            variant = (eng.windows == 0, run_er)
+            will_run = (len(eng._pending) + 1
+                        >= (ec.window if eng.windows == 0
+                            else ec.window - 1))
+            if will_run and snap is None and variant in seen_variants \
+                    and not run_er:
+                snap = (eng.state, eng.n_frames - 1)
             t0 = time.perf_counter()
             out = eng.feed(xyz_d[f], int_d[f], val_d[f])
             if out is not None:
                 float(out.pgo_error)        # host fetch = device sync
-                t_steps.append((time.perf_counter() - t0,
-                                out.removed.shape[0]))
+                # each (first, run_erasor) jit VARIANT compiles on its
+                # first execution (minutes through the remote compiler);
+                # steady state excludes exactly those first occurrences
+                warm = variant in seen_variants
+                seen_variants.add(variant)
+                if warm:
+                    t_steps.append((time.perf_counter() - t0,
+                                    out.removed.shape[0]))
         eng.finalize(final_erasor=True)
-        # steady state EXCLUDES the first TWO window steps: step 1
-        # compiles the first=True jit variant, step 2 the continuing
-        # variant (uncached, each can take minutes through the remote
-        # compiler); later steps reuse them
-        steady = t_steps[2:] if len(t_steps) > 2 else t_steps[-1:]
-        ms_slam = (sum(t for t, _ in steady)
-                   / max(sum(k for _, k in steady), 1) * 1e3)
-        n = eng.n_frames
+        ms_slam = (sum(t for t, _ in t_steps)
+                   / max(sum(k for _, k in t_steps), 1) * 1e3)
         import jax.numpy as jnp2
         ate = float(odometry.ate_rmse(
-            jnp2.asarray(eng.poses()), jnp2.asarray(win_l["poses"][:n])))
+            jnp2.asarray(eng.poses()),
+            jnp2.asarray(win_l["poses"][eng.kf_frames()])))
         n_loops = int(eng.state.n_loops)
-        err(f"[slam] {ms_slam:.2f} ms/frame (streaming engine, "
-            f"{len(steady)} steady windows), ATE {ate:.3f} m, "
-            f"{n_loops} loop edge(s), "
+        err(f"[slam] {ms_slam:.2f} ms/frame (streaming engine incl. "
+            f"periodic ERASOR, {len(t_steps)} steady windows), "
+            f"ATE {ate:.3f} m, {n_loops} loop edge(s), "
             f"{int(eng.state.odo_fallbacks)} odo fallbacks")
+
+        # ---- per-phase DEVICE-time breakdown of one steady engine step
+        # (VERDICT round 4 item 3): odometry / loops / PGO / ERASOR each
+        # as its own jit traced once; tracking+submaps+gating is the
+        # remainder of the full-step device total (a standalone
+        # run_window-with-carry jit would be a second multi-minute
+        # Pallas compile for a number the subtraction already gives).
+        try:
+            import tempfile
+            st5, f0 = snap
+            W = ec.window
+            xb, ib, vb = (xyz_d[f0:f0 + W], int_d[f0:f0 + W],
+                          val_d[f0:f0 + W])
+
+            def _dev_of(fn, *args, jit=True):
+                jfn = jax.jit(fn) if jit else fn
+                jax.tree.map(np.asarray, jfn(*args))      # compile+warm
+                sub = tempfile.mkdtemp(prefix="eng_trace_")
+                with jax.profiler.trace(sub):
+                    jax.tree.map(np.asarray, jfn(*args))
+                return _device_ms_from_trace(sub)
+
+            # process_window is ALREADY jitted (the steady executable of
+            # the main loop) - re-jitting would force a second
+            # multi-minute Pallas compile of the whole step
+            dev_step = _dev_of(
+                lambda s, x, i, v: engine_mod.process_window(
+                    s, x, i, v, False, False, ec, cfg),
+                st5, xb, ib, vb, jit=False)
+            dev_odo = _dev_of(
+                lambda s, x, v: engine_mod._window_odometry(
+                    s, x, v, False, ec, cfg), st5, xb, vb)
+
+            def loops_fn(s, x, v):
+                descs = jax.lax.map(
+                    lambda f: engine_mod.scan_context.descriptor(
+                        x[f], v[f], ec.desc), jnp.arange(W))
+                slots = s.n - 1 + jnp.arange(W, dtype=jnp.int32)
+                return engine_mod._window_loops(
+                    s, x, v, descs, slots, jnp.ones((W,), bool),
+                    False, ec, cfg)
+            dev_loops = _dev_of(loops_fn, st5, xb, vb)
+            dev_pgo = _dev_of(
+                lambda s: engine_mod._run_pgo(s, s.n, ec), st5)
+            dev_er = _dev_of(
+                lambda s, x, v: engine_mod._erasor_pass(
+                    s, x, v, s.last_pose, ec), st5, xb[-1], vb[-1])
+            rest = dev_step - dev_odo - dev_loops
+            err(f"[engine-trace] step device {dev_step:7.2f} ms "
+                f"({dev_step / (W - 1):.2f} ms/frame over {W - 1} judged)")
+            err(f"[engine-trace] odometry {dev_odo:7.2f}  "
+                f"tracking+submaps(remainder) {max(rest, 0.0):7.2f}  "
+                f"loops(retrieval+verify) {dev_loops:7.2f}")
+            err(f"[engine-trace] pgo {dev_pgo:7.2f} (loop windows only)  "
+                f"erasor {dev_er:7.2f} (every {ec.erasor_every} windows)")
+        except Exception as e:
+            err(f"[engine-trace] failed: {type(e).__name__}: {e}")
     except Exception as e:
         err(f"[slam] failed: {type(e).__name__}: {e}")
 

@@ -30,6 +30,13 @@ def _load_window(args, cfg):
                 car_pts=120, n_buildings=2, n_trees=3, n_parked_cars=2,
                 n_moving_cars=2, extent=14.0, moving_speed=4.0,
                 ego_speed=1.0, seed=args.seed)
+        elif getattr(args, "scene", "default") == "loop":
+            # circular revisit trajectory (128 scans/lap): long-sequence
+            # + loop-closure demos, e.g. `slam --scene loop --frames 512
+            # --kf-dist 4.0` = 4 laps through a gated keyframe budget
+            spec = synthetic.SceneSpec(
+                trajectory="loop", loop_frames=128, loop_radius=18.0,
+                n_moving_cars=2, seed=args.seed)
         else:
             spec = synthetic.SceneSpec(seed=args.seed)
         if getattr(args, "extent", None):
@@ -234,10 +241,16 @@ def cmd_slam(args):
 
     cfg = getattr(config, args.profile)()
     _, win = _load_window(args, cfg)
+    import dataclasses as _dc
     ec = engine.EngineConfig(
         window=args.window, max_keyframes=args.max_keyframes,
         submap_points=args.submap_points,
         kf_dist=args.kf_dist, kf_rot=args.kf_rot,
+        loop_min_score=args.loop_min_score,
+        max_loop_edges=args.max_loop_edges,
+        erasor=_dc.replace(engine.erasor_mod.ErasorConfig(),
+                           max_range=args.erasor_max_range,
+                           max_pts_per_bin=args.erasor_max_pts),
         erasor_every=args.erasor_every,
         drift_bias=tuple(json.loads(args.drift_bias)) if args.drift_bias
         else (0.0,) * 6)
@@ -593,6 +606,11 @@ def main(argv=None):
                          "is a keyframe)")
     sp.add_argument("--kf-rot", type=float, default=0.0,
                     help="keyframe rotation gate in radians (0=off)")
+    sp.add_argument("--loop-min-score", type=float, default=0.92,
+                    help="descriptor similarity floor for loop proposal")
+    sp.add_argument("--max-loop-edges", type=int, default=32)
+    sp.add_argument("--erasor-max-range", type=float, default=60.0)
+    sp.add_argument("--erasor-max-pts", type=int, default=1024)
     sp.add_argument("--erasor-every", type=int, default=4,
                     help="windows between ERASOR map cleanings (0=final)")
     sp.add_argument("--ckpt-every", type=int, default=0,

@@ -98,7 +98,7 @@ class EngineConfig:
     loop_min_corr_frac: float = 0.15
     loop_max_rmse: float = 0.6
     loop_edge_weight: float = 3.0
-    max_loop_edges: int = 16
+    max_loop_edges: int = 32
     # pose graph
     pgo_gn_iters: int = 8
     pgo_cg_iters: int = 32
