@@ -192,6 +192,50 @@ def main():
             return outs
         timeit("  one plane-fit ssum x10", fits, x0, v0)
 
+    if "segparts" in which:
+        # post-kernel pieces of segment_frame, isolated (answers "where
+        # do segment's ~23 device ms actually go" at round-5 state)
+        from dr_using_scv_od_tpu.ops import segment_ops
+        g = cfg.grid.bin_num
+        C = cfg.shapes.max_clusters
+        grid2, moments = jax.jit(
+            lambda f, x, i, m: quantize.voxel_stats_moments(
+                f, x, i, m, cfg.grid))(flat, x0, i0, in_fov)
+        # XLA CC (not the Pallas kernel): avoids paying a fresh
+        # multi-minute Pallas compile just to build segparts inputs
+        root = jax.jit(lambda o: clustering.connected_components(
+            o, cfg.seg.cc_max_iters))(occ3)
+        _, pc_, lg_, _, _ = jax.jit(
+            lambda r: clustering.compact_grid_labels(
+                r, grid2.occupied, flat, in_fov, C, g))(root)
+
+        timeit("  planarity_from_moments",
+               lambda c, m: recognition.voxel_planarity_from_moments(
+                   c.astype(jnp.int32), m, cfg),
+               grid2.count.astype(jnp.float32), moments)
+        timeit("  hist_multi (nvox/npts/nplanar)",
+               lambda lg: segment_ops.grid_label_hist_multi(
+                   lg.astype(jnp.int32), C,
+                   [grid2.count.astype(jnp.float32),
+                    grid2.count.astype(jnp.float32) * 0.5],
+                   weight_bound=cfg.shapes.max_points + 1),
+               lg_.astype(jnp.float32))
+        timeit("  bbox minmax fused",
+               lambda x, pc: segment_ops.segment_minmax(
+                   x, pc.astype(jnp.int32),
+                   pc.astype(jnp.int32) >= 0, C),
+               x0, pc_.astype(jnp.float32))
+        timeit("  compare_all rank (in compact)",
+               lambda r: jnp.searchsorted(
+                   jnp.sort(jnp.arange(C, dtype=jnp.int32) * 997),
+                   r.astype(jnp.int32), side="left",
+                   method="compare_all"),
+               root.astype(jnp.float32))
+        timeit("  cumsum_matmul [G]",
+               lambda o: clustering._cumsum_matmul(
+                   (o > 0.5).astype(jnp.int32).reshape(-1)),
+               occ3.astype(jnp.float32))
+
     if "recog" in which:
         seg, point_voxel, _ = jax.jit(
             lambda x, i, ng, g_, d: segmentation.segment_frame(
