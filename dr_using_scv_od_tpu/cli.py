@@ -240,7 +240,46 @@ def cmd_slam(args):
     from .utils import io_kitti
 
     cfg = getattr(config, args.profile)()
-    _, win = _load_window(args, cfg)
+    if args.data == "synthetic":
+        _, win = _load_window(args, cfg)
+        scan_iter = None
+        F = win["xyz"].shape[0]
+    else:
+        # STREAMING dataset path: scans decode in a background thread
+        # (utils/prefetch.ScanPrefetcher -> native prefetch_open ring)
+        # and feed the engine one at a time - constant memory over
+        # arbitrarily long sequences, IO overlapped with device compute
+        # (the reference decodes synchronously inside its frame loop,
+        # src/ssc.cpp:1046-1058).
+        from .utils import io_kitti as _io
+        from .utils.prefetch import ScanPrefetcher
+        bins = _io.sorted_frame_files(args.data, ".bin")
+        labs = (_io.sorted_frame_files(args.labels, ".label")
+                if args.labels else None)
+        end = args.end if args.end > 0 else len(bins)
+        sel = list(range(args.start, min(end, len(bins)), cfg.skip))
+        pf = ScanPrefetcher(
+            [bins[i] for i in sel],
+            [labs[i] for i in sel] if labs else None,
+            max_points=cfg.shapes.max_points * 4,
+            max_intensity=cfg.max_intensity)
+
+        def scans():
+            import jax.numpy as jnp
+            N = cfg.shapes.max_points
+            for xyz, inten, _lab in pf:
+                keep = io_kitti._voxel_downsample_np(xyz, 0.08)
+                xyz, inten = xyz[keep], inten[keep]
+                n = min(len(xyz), N)
+                X = np.zeros((N, 3), np.float32)
+                I = np.zeros((N,), np.float32)
+                V = np.zeros((N,), bool)
+                X[:n], I[:n], V[:n] = xyz[:n], inten[:n], True
+                yield jnp.asarray(X), jnp.asarray(I), jnp.asarray(V)
+
+        win = None
+        scan_iter = scans()
+        F = len(sel)
     import dataclasses as _dc
     ec = engine.EngineConfig(
         window=args.window, max_keyframes=args.max_keyframes,
@@ -266,10 +305,19 @@ def cmd_slam(args):
                                 ckpt_every=args.ckpt_every)
         start = 0
 
-    F = win["xyz"].shape[0]
     n_dyn = 0
-    for f in range(start, F):
-        out = eng.feed(win["xyz"][f], win["intensity"][f], win["valid"][f])
+
+    def frame_source():
+        if scan_iter is not None:
+            for f, scan in enumerate(scan_iter):
+                if f >= start:
+                    yield scan
+        else:
+            for f in range(start, F):
+                yield (win["xyz"][f], win["intensity"][f], win["valid"][f])
+
+    for scan in frame_source():
+        out = eng.feed(*scan)
         if out is not None:
             n_dyn += int(np.sum(out.n_dynamic))
             for r in np.flatnonzero(np.asarray(out.loop_accepted)):
@@ -286,7 +334,7 @@ def cmd_slam(args):
           f"dynamic_clusters={n_dyn}  "
           f"erasor_removed={int(st.erasor_removed)}  "
           f"odo_fallbacks={int(st.odo_fallbacks)}")
-    if "poses" in win:
+    if win is not None and "poses" in win:
         import jax.numpy as jnp
         # compare each KEYFRAME's pose against the GT pose of the scan
         # that created it (with gating off, keyframes == scans)
@@ -569,8 +617,9 @@ def main(argv=None):
         sp.add_argument("--extent", type=float, default=None,
                         help="synthetic scene half-extent (m)")
         sp.add_argument("--scene", default="default",
-                        choices=["default", "tiny"],
-                        help="synthetic scene size preset")
+                        choices=["default", "tiny", "loop"],
+                        help="synthetic scene preset (loop = circular "
+                             "revisit trajectory, 128 scans/lap)")
         sp.add_argument("--out", default=None)
 
     sp = sub.add_parser("segdf", help="full dynamic-removal pipeline")

@@ -200,6 +200,42 @@ def segment_minmax(x: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray,
     return out[:, :D], -out[:, D:]
 
 
+def segment_minmax_bcast(x: jnp.ndarray, ids: jnp.ndarray,
+                         valid: jnp.ndarray, num: int, block: int = 8192
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-segment (min, max) WITHOUT a scatter: chunked broadcast-compare
+    reduction. An [N]-update scatter serializes on TPU (~3-5 ms at
+    N=131k); here each `block` chunk builds the virtual [block, num, 2D]
+    masked tensor and min-reduces it on the VPU - XLA fuses the mask into
+    the reduction, so nothing is materialized and the whole thing is
+    ~N*num*2D select+min lanes (~0.5 ms at N=131k, num=512).
+
+    Bit-identical to segment_minmax (min/max over exactly the same
+    member sets; empty segments return +inf/-inf before the caller's
+    `alive` mask, same as the scatter path)."""
+    N, D = x.shape
+    both = jnp.concatenate([x, -x], axis=-1)
+    both = jnp.where(valid[:, None] & (ids >= 0)[:, None], both, jnp.inf)
+    nb = -(-N // block)
+    pad = nb * block - N
+    bothp = jnp.pad(both, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    idsp = jnp.pad(ids, (0, pad), constant_values=-1)
+    cid = jnp.arange(num, dtype=ids.dtype)
+
+    def chunk(carry, inp):
+        b, i = inp                                     # [block,2D], [block]
+        hit = i[:, None] == cid[None, :]               # [block, num]
+        m = jnp.min(jnp.where(hit[:, :, None], b[:, None, :], jnp.inf),
+                    axis=0)                            # [num, 2D]
+        return jnp.minimum(carry, m), None
+
+    init = jnp.full((num, 2 * D), jnp.inf, x.dtype)
+    out, _ = jax.lax.scan(
+        chunk, init, (bothp.reshape(nb, block, 2 * D),
+                      idsp.reshape(nb, block)))
+    return out[:, :D], -out[:, D:]
+
+
 def segment_mean(x: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray,
                  num: int) -> jnp.ndarray:
     s = segment_sum(x, ids, valid, num)

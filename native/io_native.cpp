@@ -142,4 +142,151 @@ int pcd_read_xyzi(const char* path, float* out, int64_t n) {
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Asynchronous sequence prefetcher: a background thread decodes scans
+// (.bin + optional .label) AHEAD of the consumer into a bounded ring of
+// fixed-capacity slots, so file IO overlaps device compute. The reference's
+// driver loop reads every scan synchronously between processing steps
+// (src/ssc.cpp:1046-1058 inside the per-frame loop); here the engine's
+// feed() loop pops decoded scans with zero stall in the steady state.
+// ---------------------------------------------------------------------------
+
+}  // extern "C"  (reopened below; the prefetcher needs C++ internals)
+
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+struct Slot {
+    std::vector<float> pts;        // [cap*4]
+    std::vector<uint32_t> labels;  // [cap] (zeros when no label file)
+    int64_t n = 0;                 // points decoded (clamped to cap)
+    int64_t total = 0;             // points in the file (pre-clamp)
+    int rc = 0;                    // decode status, 0 = ok
+};
+
+struct Prefetcher {
+    std::vector<std::string> bins, labs;   // labs[i] empty = no label file
+    int64_t cap;                           // max points per slot
+    size_t depth;                          // ring capacity
+    std::vector<Slot> ring;
+    size_t head = 0, tail = 0, count = 0;  // ring state (tail = next pop)
+    std::mutex mu;
+    std::condition_variable cv_push, cv_pop;
+    bool stop = false;
+    std::thread worker;
+
+    void run() {
+        for (size_t i = 0; i < bins.size(); i++) {
+            Slot s;
+            s.pts.resize(cap * 4);
+            s.total = kitti_bin_num_points(bins[i].c_str());
+            if (s.total < 0) {
+                s.rc = 1;
+            } else {
+                s.n = s.total < cap ? s.total : cap;
+                // read only the first n points (mmap window)
+                int fd = open(bins[i].c_str(), O_RDONLY);
+                if (fd < 0) { s.rc = 1; }
+                else {
+                    size_t bytes = static_cast<size_t>(s.total) * 16;
+                    void* m = mmap(nullptr, bytes, PROT_READ, MAP_PRIVATE,
+                                   fd, 0);
+                    if (m == MAP_FAILED) { s.rc = 2; }
+                    else {
+                        std::memcpy(s.pts.data(), m,
+                                    static_cast<size_t>(s.n) * 16);
+                        munmap(m, bytes);
+                    }
+                    close(fd);
+                }
+            }
+            if (s.rc == 0 && !labs[i].empty()) {
+                s.labels.resize(cap);
+                int64_t ln = kitti_label_num_points(labs[i].c_str());
+                if (ln != s.total) { s.rc = 3; }  // scan/label mismatch
+                else {
+                    std::vector<uint32_t> full(ln);
+                    int rc = kitti_label_read(labs[i].c_str(), full.data(),
+                                              ln);
+                    if (rc != 0) s.rc = 10 + rc;
+                    else std::memcpy(s.labels.data(), full.data(),
+                                     static_cast<size_t>(s.n) * 4);
+                }
+            }
+            std::unique_lock<std::mutex> lk(mu);
+            cv_push.wait(lk, [&] { return count < depth || stop; });
+            if (stop) return;
+            ring[head] = std::move(s);
+            head = (head + 1) % depth;
+            count++;
+            cv_pop.notify_one();
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque handle. label_paths may be null (no labels) and
+// individual entries may be empty strings.
+void* prefetch_open(const char** bin_paths, const char** label_paths,
+                    int64_t n_files, int64_t max_points, int depth) {
+    if (n_files <= 0 || max_points <= 0 || depth <= 0) return nullptr;
+    auto* p = new Prefetcher();
+    p->cap = max_points;
+    p->depth = static_cast<size_t>(depth);
+    p->ring.resize(p->depth);
+    for (int64_t i = 0; i < n_files; i++) {
+        p->bins.emplace_back(bin_paths[i]);
+        p->labs.emplace_back(
+            label_paths && label_paths[i] ? label_paths[i] : "");
+    }
+    p->worker = std::thread([p] { p->run(); });
+    return p;
+}
+
+// Blocks until the next scan (in file order) is decoded, copies up to
+// max_points rows into out_pts [max_points*4] / out_labels [max_points]
+// (out_labels may be null). Returns the file's TOTAL point count (so the
+// caller can detect clamping), or -rc on a decode error for that file.
+// Never returns 0 for an empty ring - it blocks; call exactly n_files
+// times.
+int64_t prefetch_next(void* h, float* out_pts, uint32_t* out_labels,
+                      int64_t max_points) {
+    auto* p = static_cast<Prefetcher*>(h);
+    Slot s;
+    {
+        std::unique_lock<std::mutex> lk(p->mu);
+        p->cv_pop.wait(lk, [&] { return p->count > 0; });
+        s = std::move(p->ring[p->tail]);
+        p->tail = (p->tail + 1) % p->depth;
+        p->count--;
+        p->cv_push.notify_one();
+    }
+    if (s.rc != 0) return -s.rc;
+    int64_t n = s.n < max_points ? s.n : max_points;
+    std::memcpy(out_pts, s.pts.data(), static_cast<size_t>(n) * 16);
+    if (out_labels && !s.labels.empty())
+        std::memcpy(out_labels, s.labels.data(),
+                    static_cast<size_t>(n) * 4);
+    else if (out_labels)
+        std::memset(out_labels, 0, static_cast<size_t>(n) * 4);
+    return s.total;
+}
+
+void prefetch_close(void* h) {
+    auto* p = static_cast<Prefetcher*>(h);
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->stop = true;
+        p->cv_push.notify_all();
+    }
+    if (p->worker.joinable()) p->worker.join();
+    delete p;
+}
+
 }  // extern "C"

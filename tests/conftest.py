@@ -26,3 +26,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled XLA CPU executables between test modules.
+
+    A full-suite run accumulates hundreds of live CPU executables; at
+    ~the 73rd test the NEXT backend_compile segfaults inside XLA:CPU
+    (reproduced twice at the same spot, never in isolation or in short
+    runs). Dropping caches per module keeps the live-executable set
+    bounded; within-module compile reuse - where almost all sharing
+    happens - is unaffected."""
+    yield
+    jax.clear_caches()

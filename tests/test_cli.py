@@ -123,3 +123,34 @@ def test_slam_cli_with_resume(tmp_path):
     assert "resumed at frame" in r2.stdout
     ate2 = float(r2.stdout.split("ATE=")[1].split(" ")[0])
     assert ate2 < 0.5
+
+
+@pytest.mark.slow
+def test_slam_streaming_kitti_dir(tmp_path):
+    """slam --data <dir>: the prefetcher-backed streaming path (scans
+    decoded in a background thread, fed one at a time - constant memory
+    over arbitrary sequences)."""
+    from dr_using_scv_od_tpu import config
+    from dr_using_scv_od_tpu.utils import synthetic
+    cfg = config.tiny_test()
+    spec = synthetic.SceneSpec(
+        ground_pts=1500, building_pts=300, tree_pts=100, car_pts=120,
+        n_buildings=2, n_trees=3, n_parked_cars=2, n_moving_cars=2,
+        extent=14.0, moving_speed=4.0, ego_speed=1.0, seed=0)
+    scene = synthetic.make_scene(spec)
+    win = synthetic.render_window(scene, 16, cfg.shapes.max_points)
+    data = tmp_path / "velodyne"
+    data.mkdir()
+    for f in range(16):
+        v = win["valid"][f]
+        pts = np.concatenate(
+            [win["xyz"][f][v],
+             (win["intensity"][f][v] / 255.0)[:, None]],
+            axis=1).astype(np.float32)
+        pts.tofile(data / f"{f:06d}.bin")
+    # cfg.skip = 5 (reference default): files 0,5,10,15 stream through
+    r = _run(["slam", "--profile", "tiny_test", "--data", str(data),
+              "--end", "16", "--window", "4", "--out", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "frames=4" in r.stdout
+    assert (tmp_path / "map_static.pcd").exists()

@@ -229,3 +229,22 @@ def test_grid_label_counts_weight_bound_three_digits():
     got = np.asarray(so.grid_label_counts(
         jnp.asarray(lab), 4, weights=jnp.asarray(w), weight_bound=131073))
     np.testing.assert_array_equal(got, [201072.0, 65536.0, 65536.0, 0.0])
+
+
+def test_segment_minmax_bcast_matches_scatter():
+    """The broadcast-compare bbox reduction must be bit-identical to the
+    scatter formulation (same member sets, inf fill for empty segments)
+    on ragged N (pad path) and with invalid/out-of-range ids."""
+    from dr_using_scv_od_tpu.ops import segment_ops as so
+    rng = np.random.default_rng(11)
+    for N, C, block in ((5000, 37, 512), (1000, 8, 1024), (513, 5, 256)):
+        x = rng.normal(size=(N, 3)).astype(np.float32)
+        ids = rng.integers(-1, C, N).astype(np.int32)
+        valid = rng.random(N) < 0.8
+        a_min, a_max = so.segment_minmax(
+            jnp.asarray(x), jnp.asarray(ids), jnp.asarray(valid), C)
+        b_min, b_max = so.segment_minmax_bcast(
+            jnp.asarray(x), jnp.asarray(ids), jnp.asarray(valid), C,
+            block=block)
+        np.testing.assert_array_equal(np.asarray(a_min), np.asarray(b_min))
+        np.testing.assert_array_equal(np.asarray(a_max), np.asarray(b_max))

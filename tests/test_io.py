@@ -86,3 +86,79 @@ def test_sorted_frame_files(tmp_path):
         (tmp_path / f"{n:06d}.bin").touch()
     files = io_kitti.sorted_frame_files(tmp_path, ".bin")
     assert [int(f.stem) for f in files] == [2, 10, 100]
+
+
+def _make_sequence(tmp_path, rng, n_frames=6, with_labels=True):
+    bins, labs = [], []
+    for f in range(n_frames):
+        n = int(rng.integers(200, 1200))
+        pts = rng.normal(size=(n, 4)).astype(np.float32)
+        pts[:, 3] = rng.uniform(0, 1, n)
+        b = tmp_path / f"{f:06d}.bin"
+        pts.tofile(b)
+        bins.append(b)
+        if with_labels:
+            lab = rng.choice([0, 1, 40, 50, 252], size=n).astype(np.uint32)
+            lp = tmp_path / f"{f:06d}.label"
+            lab.tofile(lp)
+            labs.append(lp)
+    return bins, (labs if with_labels else None)
+
+
+def test_prefetcher_matches_load_scan(tmp_path, rng):
+    """The async prefetcher (native or fallback) must yield exactly
+    load_scan's output, in file order."""
+    from dr_using_scv_od_tpu.utils.prefetch import ScanPrefetcher
+    bins, labs = _make_sequence(tmp_path, rng)
+    pf = ScanPrefetcher(bins, labs, max_points=4096, depth=2)
+    got = list(pf)
+    assert len(got) == len(bins)
+    for (xyz, inten, lab), b, l in zip(got, bins, labs):
+        w_xyz, w_int, w_lab = io_kitti.load_scan(b, l)
+        np.testing.assert_array_equal(xyz, w_xyz)
+        np.testing.assert_array_equal(inten, w_int)
+        np.testing.assert_array_equal(lab, w_lab)
+
+
+def test_prefetcher_python_fallback_parity(tmp_path, rng):
+    """Force the pure-Python tier and check it matches the native tier
+    (so environments without the .so see identical streams)."""
+    from dr_using_scv_od_tpu.utils.prefetch import ScanPrefetcher
+    bins, labs = _make_sequence(tmp_path, rng, n_frames=4)
+    pf_native = ScanPrefetcher(bins, labs, max_points=4096, depth=2)
+    pf_py = ScanPrefetcher(bins, labs, max_points=4096, depth=2)
+    pf_py._lib = None  # force fallback tier
+    for (ax, ai, al), (bx, bi, bl) in zip(pf_native, pf_py):
+        np.testing.assert_array_equal(ax, bx)
+        np.testing.assert_array_equal(ai, bi)
+        np.testing.assert_array_equal(al, bl)
+
+
+def test_prefetcher_no_labels_and_cap(tmp_path, rng):
+    from dr_using_scv_od_tpu.utils.prefetch import ScanPrefetcher
+    bins, _ = _make_sequence(tmp_path, rng, n_frames=3, with_labels=False)
+    cap = 100
+    for force_py in (False, True):
+        pf = ScanPrefetcher(bins, None, max_points=cap, depth=1)
+        if force_py:
+            pf._lib = None
+        for (xyz, inten, lab), b in zip(pf, bins):
+            full = io_kitti.read_bin(b)
+            n = min(len(full), cap)
+            assert len(xyz) == n
+            np.testing.assert_array_equal(xyz, full[:n, :3])
+            np.testing.assert_array_equal(lab, np.zeros(n, np.uint32))
+
+
+def test_prefetcher_decode_error_surfaces(tmp_path, rng):
+    from dr_using_scv_od_tpu.utils.prefetch import ScanPrefetcher
+    bins, labs = _make_sequence(tmp_path, rng, n_frames=2)
+    # truncate one label file -> scan/label mismatch must raise
+    data = np.fromfile(labs[1], np.uint32)
+    data[:-5].tofile(labs[1])
+    for force_py in (False, True):
+        pf = ScanPrefetcher(bins, labs, max_points=4096, depth=2)
+        if force_py:
+            pf._lib = None
+        with pytest.raises(IOError):
+            list(pf)

@@ -225,6 +225,11 @@ def main():
                    x, pc.astype(jnp.int32),
                    pc.astype(jnp.int32) >= 0, C),
                x0, pc_.astype(jnp.float32))
+        timeit("  bbox minmax bcast",
+               lambda x, pc: segment_ops.segment_minmax_bcast(
+                   x, pc.astype(jnp.int32),
+                   pc.astype(jnp.int32) >= 0, C),
+               x0, pc_.astype(jnp.float32))
         timeit("  compare_all rank (in compact)",
                lambda r: jnp.searchsorted(
                    jnp.sort(jnp.arange(C, dtype=jnp.int32) * 997),
