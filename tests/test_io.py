@@ -162,3 +162,15 @@ def test_prefetcher_decode_error_surfaces(tmp_path, rng):
             pf._lib = None
         with pytest.raises(IOError):
             list(pf)
+
+
+def test_prefetcher_depth_exceeds_sequence(tmp_path, rng):
+    """Ring deeper than the file list must not deadlock or truncate
+    (worker fills fewer slots than capacity, then exits)."""
+    from dr_using_scv_od_tpu.utils.prefetch import ScanPrefetcher
+    bins, labs = _make_sequence(tmp_path, rng, n_frames=2)
+    for force_py in (False, True):
+        pf = ScanPrefetcher(bins, labs, max_points=4096, depth=8)
+        if force_py:
+            pf._lib = None
+        assert len(list(pf)) == 2
