@@ -231,8 +231,10 @@ def segment_frame(xyz: jnp.ndarray, intensity: jnp.ndarray,
         label_grid, C, [cnt_f, jnp.where(planar_vox, cnt_f, 0.0)],
         weight_bound=cfg.shapes.max_points + 1)
     n_points = n_points_f.astype(jnp.int32)
-    # one fused min/max scatter (see segment_ops.segment_minmax)
-    bbox_min, bbox_max = segment_ops.segment_minmax(
+    # scatter-free chunked broadcast-compare min/max (measured 3.55 ms vs
+    # the 4.11 ms wide scatter at N=131k/C=512 on v5e; bit-identical -
+    # tests/test_clustering.py::test_segment_minmax_bcast_matches_scatter)
+    bbox_min, bbox_max = segment_ops.segment_minmax_bcast(
         xyz, point_cluster, in_fov, C)
     grid_valid = label_grid >= 0
     alive = roots != sentinel
